@@ -1,0 +1,102 @@
+"""Exact 64-bit fixed-point arithmetic emulated with int32 vector ops.
+
+TPUs have no fast 64-bit integer path, but the reference requantization
+contract ("(rescale*x) // 2^(shift-1); then //2 + %2", reference
+quantisation/utils/rescale_coeff.py:49-51) needs ~47-bit intermediates:
+the SiLU path multiplies an int32 conv accumulator by an 8-bit sigmoid
+value and then by an 8-bit rescale coefficient.
+
+The key identity that keeps everything in int32 lanes on the VPU:
+the combined multiplier ``m = sigma_q * rescale`` always fits in 15 bits
+(sigma_q <= 2^(K-1)-1 <= 127 for K<=8, rescale <= 2^8-1), so every
+requantization in the pipeline reduces to
+
+    result = round_half_up( widen(m * x) >> (shift-1) )
+
+with one signed int32 x int15 widening multiply, represented as an
+(hi: int32, lo: uint32) pair. All functions here are jax-traceable and run
+identically on CPU and TPU; tests/test_intmath.py checks them exhaustively
+against numpy int64.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Maximum multiplier magnitude accepted by widen_mul_i15 (exclusive).
+I15_MAX = 1 << 15
+
+
+def widen_mul_i15(m, x):
+    """Exact widening multiply ``m * x`` -> 64-bit value as an (hi, lo) pair.
+
+    Args:
+      m: int32 array, values in [0, 2^15). (Combined sigma*rescale multiplier;
+         always non-negative in this pipeline.)
+      x: int32 array (full range).
+
+    Returns:
+      (hi, lo): hi int32 (signed high word), lo uint32 (low word) such that
+      the mathematical product equals hi * 2^32 + lo.
+    """
+    m = m.astype(jnp.int32)
+    x = x.astype(jnp.int32)
+    x_lo = jnp.bitwise_and(x, 0xFFFF)          # [0, 2^16)
+    x_hi = jnp.right_shift(x, 16)              # arithmetic; [-2^15, 2^15)
+    p_lo = m * x_lo                            # < 2^15 * 2^16 = 2^31, exact
+    p_hi = m * x_hi                            # |.| < 2^30, exact
+    # 64-bit value = p_hi * 2^16 + p_lo. Recombine into (hi, lo32).
+    u_plo = p_lo.astype(jnp.uint32)
+    u_mid = jnp.left_shift(p_hi.astype(jnp.uint32), 16)  # low 32 bits of p_hi<<16
+    lo = u_mid + u_plo
+    carry = (lo < u_mid).astype(jnp.int32)     # unsigned overflow detect
+    hi = jnp.right_shift(p_hi, 16) + carry     # arithmetic shift keeps sign
+    return hi, lo
+
+
+def shr_pair(hi, lo, s):
+    """Arithmetic shift right of a 64-bit (hi, lo) pair by ``s`` in [0, 62].
+
+    Floor semantics (matches python ``//`` with power-of-two divisors).
+    The shifted result must fit in int32 — guaranteed by the requantization
+    contract (outputs are clipped to at most 2^(K-1)-1 <= 2^15 afterwards,
+    and the pre-round value is at most ~2x that).
+    """
+    s = jnp.asarray(s, jnp.int32)
+    s_small = jnp.clip(s, 1, 31)               # used only on the s<32 branch
+    low_part = jnp.right_shift(lo, s_small.astype(jnp.uint32))
+    high_part = jnp.left_shift(hi.astype(jnp.uint32), (32 - s_small).astype(jnp.uint32))
+    small = (low_part | high_part).astype(jnp.int32)
+    # s == 0: value is lo reinterpreted as signed (hi is pure sign extension).
+    small = jnp.where(s == 0, lo.astype(jnp.int32), small)
+    big = jnp.right_shift(hi, jnp.clip(s - 32, 0, 31))
+    return jnp.where(s < 32, small, big)
+
+
+def round_half_up(q):
+    """q//2 + q%2 with floor semantics — the reference's round-half-toward-
+    +inf step (reference utils/rescale_coeff.py:51)."""
+    return jnp.right_shift(q, 1) + jnp.bitwise_and(q, 1)
+
+
+def requantize_i32(x, m, shift, qmax):
+    """Exact hardware requantization on int32 lanes.
+
+    Computes ``clip(round_half_up((m * x) >> (shift - 1)), -qmax, qmax)``
+    exactly as the reference's int64 expression
+    ``arr_q = (rescale*arr) // 2**(shift-1); arr_q//2 + arr_q%2; clip``
+    (reference utils/rescale_coeff.py:47-53), where ``m`` may already fold a
+    sigmoid LUT value into the rescale coefficient.
+
+    Args:
+      x: int32 accumulator array.
+      m: non-negative int32 multiplier array (broadcastable), < 2^15.
+      shift: int32 shift array (broadcastable), values in [1, 63].
+      qmax: python int clip bound (2^(K-1)-1).
+    """
+    m_b = jnp.broadcast_to(jnp.asarray(m, jnp.int32), x.shape)
+    s_b = jnp.broadcast_to(jnp.asarray(shift, jnp.int32), x.shape)
+    hi, lo = widen_mul_i15(m_b, x)
+    q = shr_pair(hi, lo, s_b - 1)
+    r = round_half_up(q)
+    return jnp.clip(r, -qmax, qmax)

@@ -1,0 +1,52 @@
+"""Load the reference implementation (read-only, /root/reference) as an
+importable oracle for bit-exactness tests.
+
+The reference modules import each other through the package path
+``yolov8n_quantisation.quantisation.utils.*``; we synthesize that package
+in sys.modules and execute the leaf modules straight from the mounted tree.
+Nothing is copied into this repository — the oracle exists only at test time
+and tests depending on it skip when the mount is absent.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+REF = "/root/reference/quantisation"
+_PKG = "yolov8n_quantisation"
+
+
+def _ensure_pkg(name: str):
+    if name not in sys.modules:
+        mod = types.ModuleType(name)
+        mod.__path__ = []
+        sys.modules[name] = mod
+    return sys.modules[name]
+
+
+# Leaves with no intra-package imports, loaded eagerly so that
+# ``from yolov8n_quantisation...utils.X import *`` inside other reference
+# modules resolves from sys.modules.
+_BASE_LEAVES = ("utils.scale", "utils.a", "utils.clip")
+
+
+def load(leaf: str):
+    """Load e.g. 'utils.rescale_coeff' from the reference tree."""
+    _ensure_pkg(_PKG)
+    _ensure_pkg(f"{_PKG}.quantisation")
+    _ensure_pkg(f"{_PKG}.quantisation.utils")
+    if leaf not in _BASE_LEAVES:
+        for base in _BASE_LEAVES:
+            load(base)
+    fullname = f"{_PKG}.quantisation.{leaf}"
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    path = os.path.join(REF, leaf.replace(".", "/") + ".py")
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
