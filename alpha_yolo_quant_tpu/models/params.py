@@ -1,0 +1,153 @@
+"""Parameter pytrees: initialization, checkpoint loading, BatchNorm fusion.
+
+Fused parameters are a flat dict  key -> {'w': f32[O,I,kh,kw], 'b': f32[O]}
+(plus 'dfl' -> {'w': f32[1,16,1,1]}), keyed by the reference state-dict
+prefixes so export/parity is trivial.
+
+Checkpoint loading mirrors the reference's purely positional remap of the
+ultralytics state_dict onto the custom layout (reference stage_1.py:771-783)
+and the BN-fusion surgery (reference stage_2.py:696-752, utils/batch_norm.py:
+25-36) — but over the graph IR instead of string surgery on key windows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from alpha_yolo_quant_tpu.models.graph import ConvNode, Graph
+
+BN_EPS = 1e-3  # reference stage_1.py:37 (BatchNorm2d eps=0.001)
+
+
+def conv_has_bn(node: ConvNode) -> bool:
+    """In the unfused model every SiLU conv carries a BatchNorm; the detect
+    final 1x1 convs ('.4') have a plain bias instead (reference
+    stage_2.py:52-66), and DFL has neither."""
+    return node.silu
+
+
+def raw_param_slots(graph: Graph) -> List[Tuple[str, Sequence[str]]]:
+    """The ordered raw (pre-fusion) tensor slots of the model, matching both
+    the custom model's state_dict order and — positionally — the ultralytics
+    checkpoint's (reference stage_1.py:775-783 relies on this 1:1 order).
+
+    Returns [(key, ('w','gamma','beta','mean','var','nbt')) | (key, ('w','b'))
+             ..., ('dfl', ('w',))].
+    """
+    slots: List[Tuple[str, Sequence[str]]] = []
+    for node in graph.convs():
+        if conv_has_bn(node):
+            slots.append((node.key, ("w", "gamma", "beta", "mean", "var",
+                                     "nbt")))
+        else:
+            slots.append((node.key, ("w", "b")))
+    slots.append(("dfl", ("w",)))
+    return slots
+
+
+def load_raw_from_values(graph: Graph, values: Sequence[np.ndarray]) -> Dict:
+    """Positional remap of a flat tensor sequence (e.g. ultralytics
+    state_dict().values()) onto the raw slots."""
+    slots = raw_param_slots(graph)
+    n_expected = sum(len(s[1]) for s in slots)
+    if len(values) != n_expected:
+        raise ValueError(f"expected {n_expected} tensors, got {len(values)}")
+    raw: Dict[str, Dict[str, np.ndarray]] = {}
+    it = iter(values)
+    for key, fields in slots:
+        raw[key] = {f: np.asarray(next(it)) for f in fields}
+    return raw
+
+
+def fuse_batchnorm(graph: Graph, raw: Dict) -> Dict:
+    """w' = gamma*w/sqrt(var+eps); b' = beta - gamma*mean/sqrt(var+eps)
+    per output channel (reference utils/batch_norm.py:25-36, eps=0.001).
+    float64 on host so the fused weights match the reference bit-for-bit."""
+    fused: Dict[str, Dict[str, np.ndarray]] = {}
+    for node in graph.convs():
+        p = raw[node.key]
+        w = np.asarray(p["w"], np.float64)
+        if conv_has_bn(node):
+            g = np.asarray(p["gamma"], np.float64)
+            be = np.asarray(p["beta"], np.float64)
+            mu = np.asarray(p["mean"], np.float64)
+            var = np.asarray(p["var"], np.float64)
+            inv = g / np.sqrt(var + BN_EPS)
+            fused[node.key] = {
+                "w": (w * inv[:, None, None, None]).astype(np.float32),
+                "b": (be - mu * inv).astype(np.float32),
+            }
+        else:
+            fused[node.key] = {"w": w.astype(np.float32),
+                               "b": np.asarray(p["b"], np.float32)}
+    fused["dfl"] = {"w": np.asarray(raw["dfl"]["w"], np.float32)}
+    return fused
+
+
+def init_params(graph: Graph, seed: int = 0) -> Dict:
+    """Random fused params (He-style) for tests/benchmarks when no
+    checkpoint is available. DFL weight is arange(16) like the real model
+    (reference stage_2.py:471-475)."""
+    rng = np.random.default_rng(seed)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for node in graph.convs():
+        fan_in = node.cin * node.kernel * node.kernel
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                       size=(node.cout, node.cin, node.kernel, node.kernel))
+        b = rng.normal(0.0, 0.02, size=(node.cout,))
+        params[node.key] = {"w": w.astype(np.float32),
+                            "b": b.astype(np.float32)}
+    params["dfl"] = {"w": np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)}
+    return params
+
+
+def init_raw_params(graph: Graph, seed: int = 0) -> Dict:
+    """Random UNFUSED params (conv + batchnorm stats) for testing the fusion
+    path itself."""
+    rng = np.random.default_rng(seed)
+    raw: Dict[str, Dict[str, np.ndarray]] = {}
+    for node in graph.convs():
+        fan_in = node.cin * node.kernel * node.kernel
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                       size=(node.cout, node.cin, node.kernel,
+                             node.kernel)).astype(np.float32)
+        if conv_has_bn(node):
+            raw[node.key] = {
+                "w": w,
+                "gamma": rng.uniform(0.5, 1.5, node.cout).astype(np.float32),
+                "beta": rng.normal(0, 0.1, node.cout).astype(np.float32),
+                "mean": rng.normal(0, 0.2, node.cout).astype(np.float32),
+                "var": rng.uniform(0.2, 1.0, node.cout).astype(np.float32),
+                "nbt": np.array(0, np.int64),
+            }
+        else:
+            raw[node.key] = {"w": w,
+                             "b": rng.normal(0, 0.02, node.cout).astype(
+                                 np.float32)}
+    raw["dfl"] = {"w": np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)}
+    return raw
+
+
+def load_torch_checkpoint(graph: Graph, path: str) -> Dict:
+    """Load a checkpoint file and return RAW params.
+
+    Accepts either a plain state_dict of tensors (torch.save of an
+    OrderedDict) or — when the ultralytics package is importable — a full
+    ultralytics YOLO checkpoint. The remap is positional, like the
+    reference's (stage_1.py:775-783)."""
+    import torch  # local import: torch is host-side only
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"],
+                                                            "state_dict"):
+        obj = obj["model"].float().state_dict()
+    values = [v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v) for v in obj.values()]
+    return load_raw_from_values(graph, values)

@@ -1,0 +1,83 @@
+"""Shared NN compute helpers (float path + exact-integer conv).
+
+Layouts are NCHW / OIHW to match the artifact contract; XLA re-layouts
+internally for the MXU, and the Pallas engine uses its own blocked layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d_f32(x, w, b=None, stride: int = 1, padding: int = 0):
+    """Float conv (cross-correlation), NCHW/OIHW."""
+    out = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1)
+    return out
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def maxpool2d(x, kernel: int = 5, stride: int = 1, padding: int = 2,
+              min_val=None):
+    """Max-pool with the window clipped to the valid region (padding cells
+    never win). Matches both torch MaxPool2d and the reference's numpy
+    pooling (utils/maxpooling_batch.py:27-103)."""
+    if min_val is None:
+        min_val = (jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype,
+                                                            jnp.integer)
+                   else -jnp.inf)
+    return lax.reduce_window(
+        x, min_val, lax.max,
+        window_dimensions=(1, 1, kernel, kernel),
+        window_strides=(1, 1, stride, stride),
+        padding=((0, 0), (0, 0), (padding, padding), (padding, padding)))
+
+
+def upsample_nearest(x, factor: int = 2):
+    """Nearest 2x upsample = repeat along H and W (reference stage_6.py:72-73)."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact integer convolution on the MXU.
+#
+# TPU MXUs multiply bf16 exactly for small integers (|v| <= 256 fits the
+# 8-bit bf16 mantissa) and accumulate in f32, which is exact for integer
+# sums |acc| < 2^24. Quantized activations are split into high/low nibbles
+# (x = 16*(x>>4) + (x&15)); each part is <= 16 in magnitude, so each partial
+# conv accumulates to at most 127*16*taps < 2^24 for every layer of
+# YOLOv8n/s (asserted by the quantizer). Two bf16 convs + an int32 combine
+# give a bit-exact int32 accumulator with full MXU throughput.
+# ---------------------------------------------------------------------------
+
+def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
+    """Exact integer conv: int32[N,C,H,W] x int32[O,I,kh,kw] -> int32.
+
+    Preconditions (asserted by the quantization plan, not here):
+      |x| < 2^9 (int8 activations, or 9-bit residual-sum concats),
+      |w| <= 2^(K-1)-1 <= 127,
+      per-output accumulation bound 127*16*taps < 2^24.
+    """
+    x_hi = jnp.right_shift(x_int, 4)          # arithmetic: in [-2^5, 2^5)
+    x_lo = jnp.bitwise_and(x_int, 15)         # in [0, 15]
+    w_b = w_int.astype(jnp.bfloat16)
+
+    def part(p):
+        return lax.conv_general_dilated(
+            p.astype(jnp.bfloat16), w_b, window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)
+
+    acc_hi = part(x_hi)
+    acc_lo = part(x_lo)
+    return (acc_hi.astype(jnp.int32) * 16) + acc_lo.astype(jnp.int32)

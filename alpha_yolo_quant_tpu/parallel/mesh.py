@@ -1,0 +1,62 @@
+"""Mesh construction and sharded step builders.
+
+Design (TPU-first, scaling-book style): pick a mesh, annotate shardings with
+NamedSharding, let XLA insert the collectives. For this model family the
+batch axis ("dp") rides ICI; params are replicated (3M params — replicating
+is cheaper than any gather). Multi-host runs call
+``jax.distributed.initialize`` before building the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+
+
+def shard_batch(mesh: Mesh, x, axis: str = "dp"):
+    """Place a host array batch-sharded over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a parameter pytree across the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def sharded_forward_fn(graph, mesh: Mesh, decode: bool = True,
+                       collect_taps: bool = False, axis: str = "dp"):
+    """Build a jitted batch-data-parallel forward (+decode) step.
+
+    Inputs are batch-sharded, params replicated; with collect_taps the
+    per-image tap maxima are reduced to global per-layer maxima (XLA inserts
+    the cross-device all-reduce max over ICI).
+    """
+    from alpha_yolo_quant_tpu.models.forward import forward_float
+    from alpha_yolo_quant_tpu.models.head import decode_float
+
+    in_shardings = (NamedSharding(mesh, P()), NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    def step(params, images):
+        outs, taps = forward_float(graph, params, images,
+                                   collect_taps=collect_taps)
+        res: Dict = {}
+        if decode:
+            res["preds"] = decode_float(outs, params["dfl"]["w"])
+        else:
+            res["outputs"] = outs
+        if collect_taps:
+            res["taps"] = {k: jnp.max(v) for k, v in taps.items()}
+        return res
+
+    return jax.jit(step, in_shardings=in_shardings)

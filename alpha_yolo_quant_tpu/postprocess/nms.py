@@ -1,0 +1,182 @@
+"""Batched, jittable NMS — float and integer (q_NMS) variants.
+
+Functional equivalent of the reference's `coord`/`nms` and
+`coord_quant`/`nms_quant` (quantisation/utils/bbox_cls_functions.py:49-250),
+with two deliberate upgrades:
+  * batched: the reference `return`s inside its batch loop and therefore only
+    ever works for batch 1 (utils/bbox_cls_functions.py:192); here the whole
+    pipeline is vmapped with fixed-size padding, so batch-64 TPU serving works.
+  * O(max_det x N) vectorized greedy selection instead of a python while
+    loop — identical keep-set to sequential greedy NMS.
+
+q_NMS constants are DERIVED, not hard-coded: +412 is one pixel in anchor-
+scale units (round(32767/79.5)), 2.22 approximates 1/iou_thres, and the
+integer confidence threshold is conf_thres * (2^15-1) (reference
+utils/bbox_cls_functions.py:82-117,195-250; see SURVEY.md §2.3.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class NmsParams:
+    """Float-domain NMS parameters (reference utils/bbox_cls_functions.py:
+    142-160)."""
+
+    conf_thres: float = 0.25
+    iou_thres: float = 0.45
+    max_det: int = 300
+    max_nms: int = 30000
+    max_wh: float = 7680.0
+    agnostic: bool = False
+    # Integer (q_NMS) mode: boxes are in anchor-scale units, scores in
+    # 16-bit sigmoid units. `plus_one` is the +1 area term in those units.
+    quantized: bool = False
+    box_scale: float = 1.0       # divide boxes by this at the end
+    score_scale: float = 1.0     # divide scores by this at the end
+    plus_one: float = 1.0
+
+
+def q_nms_params(anchor_scale: float, iou_thres: float = 0.45,
+                 conf_thres_int: int = 8192,
+                 score_scale: float = 32767.0) -> NmsParams:
+    """Derive the q_NMS parameter set from the anchor scale (reference
+    hard-codes 412 / 412.1635 / 8192 / 2.22 for K=16, anchors max 79.5)."""
+    return NmsParams(conf_thres=float(conf_thres_int), iou_thres=iou_thres,
+                     quantized=True, box_scale=float(anchor_scale),
+                     score_scale=score_scale,
+                     plus_one=float(int(round(anchor_scale))))
+
+
+def xywh2xyxy(x):
+    """(..., 4) xywh -> xyxy (reference utils/bbox_cls_functions.py:120-139)."""
+    dw = x[..., 2] / 2
+    dh = x[..., 3] / 2
+    return jnp.stack((x[..., 0] - dw, x[..., 1] - dh,
+                      x[..., 0] + dw, x[..., 1] + dh), axis=-1)
+
+
+def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
+                     quantized):
+    """Greedy NMS over padded candidates.
+
+    boxes: (N,4) xyxy (already class-offset), scores: (N,), valid: (N,) bool.
+    Returns keep mask (N,) with at most max_det True, identical to the
+    sequential greedy algorithm in score order.
+    """
+    n = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + plus_one) * (y2 - y1 + plus_one)
+
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + plus_one)
+    h = jnp.maximum(0.0, yy2 - yy1 + plus_one)
+    inter = w * h
+    if quantized:
+        # reference nms_quant: suppress when 2.22*inter > union
+        # (utils/bbox_cls_functions.py:106-110)
+        suppress = inter * 2.22 > (areas[:, None] + areas[None, :] - inter)
+    else:
+        iou = inter / (areas[:, None] + areas[None, :] - inter)
+        suppress = iou > iou_thres
+
+    neg_inf = jnp.float32(-jnp.inf)
+    order_scores = jnp.where(valid, scores, neg_inf)
+
+    def body(state, _):
+        keep, alive, os = state
+        i = jnp.argmax(os)
+        ok = os[i] > neg_inf
+        # argmax of an all--inf row returns 0; never un-keep a prior winner.
+        keep = keep.at[i].set(keep[i] | ok)
+        # suppress everything the winner overlaps (including itself)
+        kill = suppress[i] | (jnp.arange(n) == i)
+        alive = alive & (~kill | ~ok)
+        os = jnp.where(alive, jnp.where(valid, scores, neg_inf), neg_inf)
+        return (keep, alive, os), None
+
+    keep0 = jnp.zeros((n,), bool)
+    alive0 = jnp.ones((n,), bool)
+    (keep, _, _), _ = jax.lax.scan(body, (keep0, alive0, order_scores),
+                                   None, length=max_det)
+    return keep
+
+
+def _select_candidates(pred, max_nms, conf_thres):
+    """pred: (84, N) -> fixed-size top-max_nms candidate set.
+    Returns (boxes_xyxy (M,4), conf (M,), cls (M,), valid (M,))."""
+    box = xywh2xyxy(pred[:4].T)                # (N,4)
+    cls_scores = pred[4:]                      # (80, N)
+    conf = jnp.max(cls_scores, axis=0)
+    cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
+    valid = conf > conf_thres
+    m = min(max_nms, conf.shape[0])
+    score_for_sort = jnp.where(valid, conf, -jnp.inf)
+    _, idx = jax.lax.top_k(score_for_sort, m)
+    return box[idx], conf[idx], cls[idx], valid[idx]
+
+
+def non_max_suppression(preds, params: NmsParams = NmsParams()):
+    """Batched NMS.
+
+    preds: (B, 4+nc, N) in xywh + class scores (float; for q_NMS these are
+    integer-valued floats in anchor/sigmoid scale units).
+
+    Returns (det, n_det): det is (B, max_det, 6) rows [x1,y1,x2,y2,conf,cls]
+    (descaled for q_NMS), n_det (B,) the number of valid rows. Padding rows
+    are zero.
+    """
+    p = params
+
+    def single(pred):
+        boxes, conf, cls, valid = _select_candidates(
+            pred, p.max_nms, jnp.float32(p.conf_thres))
+        offset = cls * (0.0 if p.agnostic else p.max_wh)
+        shifted = boxes + offset[:, None]
+        keep = _greedy_nms_mask(shifted, conf, valid, p.iou_thres,
+                                p.max_det, p.plus_one, p.quantized)
+        # compact kept rows to the front, at most max_det of them
+        order = jnp.argsort(~keep, stable=True)   # kept first, score order
+        keep_sorted = keep[order]
+        rows = jnp.concatenate(
+            (boxes[order] / p.box_scale,
+             (conf[order] / p.score_scale)[:, None],
+             cls[order][:, None]), axis=1)
+        rows = jnp.where(keep_sorted[:, None], rows, 0.0)
+        n = jnp.sum(keep_sorted.astype(jnp.int32))
+        if rows.shape[0] < p.max_det:   # fixed serving shape (B, max_det, 6)
+            pad = jnp.zeros((p.max_det - rows.shape[0], 6), rows.dtype)
+            rows = jnp.concatenate((rows, pad), 0)
+        return rows[:p.max_det], n
+
+    return jax.vmap(single)(preds)
+
+
+def clip_boxes(boxes, hw):
+    """Clip xyxy boxes to (h, w) (reference utils/bbox_cls_functions.py:
+    258-273)."""
+    h, w = hw
+    return jnp.stack((jnp.clip(boxes[..., 0], 0, w),
+                      jnp.clip(boxes[..., 1], 0, h),
+                      jnp.clip(boxes[..., 2], 0, w),
+                      jnp.clip(boxes[..., 3], 0, h)), axis=-1)
+
+
+def scale_boxes(model_hw, boxes, orig_hw):
+    """Map boxes from the model's letterboxed frame back to the original
+    image (reference utils/bbox_cls_functions.py:276-308)."""
+    gain = min(model_hw[0] / orig_hw[0], model_hw[1] / orig_hw[1])
+    pad_x = round((model_hw[1] - orig_hw[1] * gain) / 2 - 0.1)
+    pad_y = round((model_hw[0] - orig_hw[0] * gain) / 2 - 0.1)
+    shifted = jnp.stack((boxes[..., 0] - pad_x, boxes[..., 1] - pad_y,
+                         boxes[..., 2] - pad_x, boxes[..., 3] - pad_y),
+                        axis=-1)
+    return clip_boxes(shifted / gain, orig_hw)
