@@ -1,0 +1,274 @@
+"""The float->integer graph transform: builds the complete quantized model
+(integer weights/biases, per-edge scales, every rescale/shift constant) as
+host-side numpy, bit-exact with the reference pipeline's derivation.
+
+This is the stage-5/6 analog (reference stage_6.py:88-165 `conv_quant`/
+`silu_quant`, plus the structural requants threaded through
+stage_6.py:187-596), except the scale flow is computed over the graph IR
+instead of being hand-positioned in a 600-line script.
+
+Scale algebra (see SURVEY.md §2.3):
+  * edge scales are SCALARS: every SiLU output is requantized to
+    scale(max_a[out_tap], K); split/pool/upsample preserve scale; residual
+    and concat unify scales by explicit requantization.
+  * conv accumulators carry PER-CHANNEL scales s_acc = s_in * w_scale.
+  * SiLU path: requant1(acc -> sigmoid domain), LUT, multiply by the raw
+    accumulator, requant2(sigma*acc -> next input scale). At runtime
+    requant2's multiplier is folded: m = sigma_q * rescale2 < 2^15.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.models.graph import (
+    ConcatNode, ConvNode, Graph, MaxPoolNode, ResidualAddNode, SplitNode,
+    UpsampleNode,
+)
+from alpha_yolo_quant_tpu.quantize.luts import Lut, exponent_lut, sigmoid_lut
+from alpha_yolo_quant_tpu.quantize.primitives import (
+    derive_rescale_shift, quant_bias, quant_matrix, scale_for,
+)
+
+
+@dataclasses.dataclass
+class ConvPlan:
+    """Quantized conv (+ fused SiLU) parameters."""
+
+    node: ConvNode
+    w_q: np.ndarray                 # int K-bit values in int32
+    b_q: np.ndarray                 # int32 (bias budget 18 bits, checked)
+    in_scale: float                 # scalar input scale
+    w_scales: np.ndarray            # (C_out,) float64
+    acc_scale: np.ndarray           # (1, C_out, 1, 1) float64
+    # SiLU constants (None for the plain head convs):
+    r1: Optional[np.ndarray] = None  # (1,C,1,1) int32: acc -> sigmoid domain
+    s1: Optional[np.ndarray] = None
+    r2: Optional[np.ndarray] = None  # (1,C,1,1) int32: sigma*acc -> out scale
+    s2: Optional[np.ndarray] = None
+    out_scale: Optional[float] = None
+
+
+@dataclasses.dataclass
+class RequantPlan:
+    """Scalar structural requantization (residual / concat input)."""
+
+    rescale: int
+    shift: int
+    old_scale: float
+    new_scale: float
+
+
+@dataclasses.dataclass
+class HeadPlan:
+    """Full-quant head constants (reference stage_6_full_quant diff;
+    see SURVEY.md §2.3.7-8)."""
+
+    box_r: Dict[str, np.ndarray]       # per level: (1,C,1,1) int32
+    box_s: Dict[str, np.ndarray]
+    box_scale: float                   # scale(dfl_max, K)
+    cls_r: Dict[str, np.ndarray]
+    cls_s: Dict[str, np.ndarray]
+    cls_scale: float                   # scale(cls_sigmoid_max, 16)
+    exp_lut: Lut
+    cls_sigmoid_lut: Lut
+    dfl_w_q: np.ndarray                # int32 (1,16,1,1)
+    dfl_acc_scale: float               # 127 * dfl_w_scale
+    dfl_r: int                         # dfl acc -> anchor scale (16-bit)
+    dfl_s: int
+    anchor_scale: float
+
+
+@dataclasses.dataclass
+class QuantizedModel:
+    cfg: QuantConfig
+    graph: Graph
+    max_a: Dict[str, float]
+    convs: Dict[str, ConvPlan]                    # by ConvNode.name
+    requants: Dict[Tuple[int, str], RequantPlan]  # (node index, src edge)
+    edge_scale: Dict[str, float]
+    edge_amax_int: Dict[str, int]                 # integer magnitude bound
+    sig_lut: Lut
+    head: Optional[HeadPlan] = None
+    clip_after_residual: Dict[int, int] = dataclasses.field(
+        default_factory=dict)                     # node idx -> clip bound
+
+
+class PlanError(RuntimeError):
+    pass
+
+
+def _check_accumulator_bounds(node: ConvNode, w_q: np.ndarray,
+                              b_q: np.ndarray, in_amax: int) -> None:
+    """int32 accumulator + exact-bf16-conv preconditions
+    (see ops/nn.py conv2d_int_exact)."""
+    wabs = np.abs(w_q.reshape(w_q.shape[0], -1)).sum(axis=1)  # per out-chan
+    acc_bound = wabs * in_amax + np.abs(b_q)
+    if acc_bound.max() >= 2 ** 31:
+        raise PlanError(f"{node.name}: int32 accumulator overflow "
+                        f"({acc_bound.max():.3g})")
+    # nibble-split partials accumulate |w|*16 per tap in f32 (exact < 2^24)
+    part_bound = wabs * 16
+    if part_bound.max() >= 2 ** 24:
+        raise PlanError(f"{node.name}: bf16-split partial overflow "
+                        f"({part_bound.max():.3g})")
+
+
+def build_quantized_model(graph: Graph, params: Dict,
+                          max_a: Dict[str, float],
+                          cfg: Optional[QuantConfig] = None,
+                          bias_warn=None) -> QuantizedModel:
+    """Derive every integer constant of the quantized network.
+
+    params: fused float params; max_a: calibration dict (tap -> max-abs).
+    """
+    cfg = cfg or graph.cfg
+    k = cfg.k
+    qmax = cfg.qmax
+    sig_dom = cfg.sigmoid_lut_domain
+    sig_scale = scale_for(sig_dom, k)
+
+    sig = sigmoid_lut(sig_dom, k)
+
+    edge_scale: Dict[str, float] = {
+        graph.input_edge: scale_for(1.0, k)}     # start=True pins a=1
+    edge_amax: Dict[str, int] = {graph.input_edge: qmax}
+    convs: Dict[str, ConvPlan] = {}
+    requants: Dict[Tuple[int, str], RequantPlan] = {}
+    clip_after: Dict[int, int] = {}
+
+    def scalar_requant(idx, src, old, new):
+        r, s = derive_rescale_shift(np.float64(old), float(new),
+                                    cfg.koeff_bits)
+        if np.ndim(r):
+            raise PlanError("structural requant must be scalar")
+        requants[(idx, src)] = RequantPlan(int(r), int(s), float(old),
+                                           float(new))
+
+    n_residuals_seen = 0
+    for idx, node in enumerate(graph.nodes):
+        if isinstance(node, ConvNode):
+            in_s = edge_scale[node.src]
+            p = params[node.key]
+            w_q, w_scales = quant_matrix(np.asarray(p["w"], np.float64), k)
+            bias_scale = (in_s * w_scales[:, 0])          # (C_out,)
+            b_q = quant_bias(np.asarray(p["b"], np.float64), bias_scale)
+            if np.abs(b_q).max() >= 2 ** (cfg.bias_bits - 1) and bias_warn:
+                bias_warn(node.name, int(np.abs(b_q).max()))
+            _check_accumulator_bounds(node, w_q, b_q, edge_amax[node.src])
+            acc_scale = bias_scale.reshape(1, -1, 1, 1)
+            plan = ConvPlan(node=node, w_q=w_q.astype(np.int32),
+                            b_q=b_q.astype(np.int32), in_scale=float(in_s),
+                            w_scales=w_scales[:, 0], acc_scale=acc_scale)
+            if node.silu:
+                a_out = max_a[node.out_tap]
+                out_s = scale_for(a_out, k)
+                r1, s1 = derive_rescale_shift(acc_scale, sig_scale,
+                                              cfg.koeff_bits)
+                r2, s2 = derive_rescale_shift(
+                    scale_for(1.0, k) * acc_scale, out_s, cfg.koeff_bits)
+                if np.any(np.int64(s1) < 1) or np.any(np.int64(s2) < 1):
+                    raise PlanError(f"{node.name}: shift<1")
+                plan.r1 = np.int64(r1).astype(np.int32)
+                plan.s1 = np.int64(s1).astype(np.int32)
+                plan.r2 = np.int64(r2).astype(np.int32)
+                plan.s2 = np.int64(s2).astype(np.int32)
+                plan.out_scale = float(out_s)
+                edge_scale[node.dst] = float(out_s)
+                edge_amax[node.dst] = qmax
+            else:
+                # plain head conv: dst carries the raw int32 accumulator
+                edge_scale[node.dst] = float("nan")
+                edge_amax[node.dst] = 0
+            convs[node.name] = plan
+        elif isinstance(node, SplitNode):
+            edge_scale[node.dst1] = edge_scale[node.dst2] = \
+                edge_scale[node.src]
+            edge_amax[node.dst1] = edge_amax[node.dst2] = edge_amax[node.src]
+        elif isinstance(node, ResidualAddNode):
+            old, new = edge_scale[node.src], edge_scale[node.base]
+            scalar_requant(idx, node.src, old, new)
+            edge_scale[node.dst] = new
+            edge_amax[node.dst] = edge_amax[node.src] + edge_amax[node.base]
+            n_residuals_seen += 1
+            if cfg.full_quant and n_residuals_seen == 4:
+                # The reference full-quant pipeline clips ONLY the second
+                # C2F_4 residual sum back to +-int(scale(1,K))
+                # (stage_6_full_quant.py:322).
+                bound = int(scale_for(1.0, k))
+                clip_after[idx] = bound
+                edge_amax[node.dst] = bound
+        elif isinstance(node, ConcatNode):
+            tgt = edge_scale[node.scale_from]
+            amax = 0
+            for e in node.srcs:
+                if edge_scale[e] != tgt:
+                    scalar_requant(idx, e, edge_scale[e], tgt)
+                    amax = max(amax, qmax)
+                else:
+                    amax = max(amax, edge_amax[e])
+            edge_scale[node.dst] = tgt
+            edge_amax[node.dst] = amax
+        elif isinstance(node, (MaxPoolNode, UpsampleNode)):
+            edge_scale[node.dst] = edge_scale[node.src]
+            edge_amax[node.dst] = edge_amax[node.src]
+
+    model = QuantizedModel(cfg=cfg, graph=graph, max_a=dict(max_a),
+                           convs=convs, requants=requants,
+                           edge_scale=edge_scale, edge_amax_int=edge_amax,
+                           sig_lut=sig, clip_after_residual=clip_after)
+    if cfg.full_quant:
+        model.head = _build_head_plan(graph, params, convs, cfg)
+    return model
+
+
+def _anchor_max(image_size: int) -> float:
+    """Max anchor coordinate: largest grid index + 0.5 on the stride-8 level
+    (79.5 at 640; reference hard-codes np.max(anchor))."""
+    return image_size / 8 - 1 + 0.5
+
+
+def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
+                     cfg: QuantConfig) -> HeadPlan:
+    # The reference full-quant head is pinned to 8-bit box / 16-bit cls math
+    # regardless of the backbone K (stage_6_full_quant: requant_last_layers
+    # (..., 8), create_exponent_lookup_table(14.826..., 8), softmax * 127,
+    # create_sigmoid_lookup_table(12, 16)); dfl weights use the backbone K.
+    box_scale = scale_for(cfg.dfl_max, 8)
+    cls_scale = scale_for(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
+    box_r, box_s, cls_r, cls_s = {}, {}, {}, {}
+    for level, head_name in (("p3", "x_result_5"), ("p4", "x_result_6"),
+                             ("p5", "x")):
+        upn = f"{head_name}_up_2" if head_name != "x" else "x_up_2"
+        dnn = f"{head_name}_down_2" if head_name != "x" else "x_down_2"
+        up_plan = convs[upn]
+        dn_plan = convs[dnn]
+        r, s = derive_rescale_shift(up_plan.acc_scale, box_scale,
+                                    cfg.koeff_bits)
+        box_r[level] = np.int64(r).astype(np.int32)
+        box_s[level] = np.int64(s).astype(np.int32)
+        r, s = derive_rescale_shift(dn_plan.acc_scale, cls_scale,
+                                    cfg.koeff_bits)
+        cls_r[level] = np.int64(r).astype(np.int32)
+        cls_s[level] = np.int64(s).astype(np.int32)
+
+    exp = exponent_lut(cfg.dfl_max, 8)
+    cls_sig = sigmoid_lut(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
+
+    dfl_w = np.asarray(params["dfl"]["w"], np.float64)
+    dfl_w_q, dfl_w_scales = quant_matrix(dfl_w, cfg.k)
+    dfl_acc_scale = float(127.0 * dfl_w_scales[0, 0])  # softmax scale is 127
+    anchor_scale = scale_for(_anchor_max(cfg.image_size), 16)
+    r, s = derive_rescale_shift(np.float64(dfl_acc_scale), anchor_scale,
+                                cfg.koeff_bits)
+    return HeadPlan(box_r=box_r, box_s=box_s, box_scale=float(box_scale),
+                    cls_r=cls_r, cls_s=cls_s, cls_scale=float(cls_scale),
+                    exp_lut=exp, cls_sigmoid_lut=cls_sig,
+                    dfl_w_q=dfl_w_q.astype(np.int32),
+                    dfl_acc_scale=dfl_acc_scale,
+                    dfl_r=int(r), dfl_s=int(s),
+                    anchor_scale=float(anchor_scale))

@@ -1,0 +1,248 @@
+"""Pure-jnp integer interpreter for the quantized network.
+
+Bit-exact with the reference pipeline while using only TPU-friendly types:
+int32 tensors, the emulated widening requantizer (ops/intmath.py), and
+exact bf16 nibble-split convolutions on the MXU (ops/nn.py). Jittable end to
+end; the same function runs on the virtual CPU mesh in tests and on real
+chips.
+
+The SiLU multiplier folding: requant2( sigma_q * acc ) is computed as
+requantize_i32(acc, m = sigma_q * r2, s2) — exact because integer
+multiplication is associative and m < 2^15 (see ops/intmath.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alpha_yolo_quant_tpu.models.graph import (
+    ConcatNode, ConvNode, Graph, MaxPoolNode, ResidualAddNode, SplitNode,
+    UpsampleNode,
+)
+from alpha_yolo_quant_tpu.models.head import dist2bbox, make_anchors
+from alpha_yolo_quant_tpu.ops.intmath import requantize_i32
+from alpha_yolo_quant_tpu.ops.nn import (
+    conv2d_int_exact, maxpool2d, upsample_nearest,
+)
+from alpha_yolo_quant_tpu.quantize.transform import QuantizedModel
+
+
+def device_plan(model: QuantizedModel) -> Dict:
+    """Convert the host plan into a pytree of device arrays (the closure
+    constants of the jitted forward)."""
+    plan: Dict = {"convs": {}, "requants": {}, "sig_lut":
+                  jnp.asarray(model.sig_lut.values, jnp.int32)}
+    for name, c in model.convs.items():
+        d = {"w": jnp.asarray(c.w_q, jnp.int32),
+             "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
+        if c.node.silu:
+            for f in ("r1", "s1", "r2", "s2"):
+                d[f] = jnp.asarray(getattr(c, f), jnp.int32)
+        plan["convs"][name] = d
+    for key, r in model.requants.items():
+        plan["requants"][key] = (jnp.int32(r.rescale), jnp.int32(r.shift))
+    if model.head is not None:
+        h = model.head
+        plan["head"] = {
+            "box_r": {k: jnp.asarray(v) for k, v in h.box_r.items()},
+            "box_s": {k: jnp.asarray(v) for k, v in h.box_s.items()},
+            "cls_r": {k: jnp.asarray(v) for k, v in h.cls_r.items()},
+            "cls_s": {k: jnp.asarray(v) for k, v in h.cls_s.items()},
+            "exp_lut": jnp.asarray(h.exp_lut.values, jnp.int32),
+            "cls_sig_lut": jnp.asarray(h.cls_sigmoid_lut.values, jnp.int32),
+            "dfl_w": jnp.asarray(h.dfl_w_q, jnp.int32).reshape(16),
+        }
+    return plan
+
+
+def quantize_input(x, k: int, per_image_amax: bool = False):
+    """Image -> int K-bit values (int32).
+
+    Default pins a=1 like the golden pipeline (reference
+    utils/quant_matrix.py:70-72 start=True); per_image_amax reproduces the
+    stage-8 runtime quirk of re-deriving a per image
+    (stage_8_torch.py:510 with start=False).
+    """
+    qmax = 2 ** (k - 1) - 1
+    if per_image_amax:
+        a = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+        s = qmax / a
+    else:
+        a, s = 1.0, float(qmax)
+    return jnp.clip(jnp.round(jnp.clip(x, -a, a) * s), -2**31, 2**31 - 1
+                    ).astype(jnp.int32)
+
+
+def _lut_take(table, x, lo: int):
+    """LUT gather with the reference's out-of-domain -> 0 semantics
+    (utils/silu.py:56-76). In-range inputs are guaranteed by construction
+    (requantize clips into the domain), but keep the guard exact."""
+    n = table.shape[0]
+    idx = x - lo
+    ok = (idx >= 0) & (idx < n)
+    return jnp.where(ok, jnp.take(table, jnp.clip(idx, 0, n - 1)), 0)
+
+
+def int_forward(model: QuantizedModel, plan: Dict, x_q,
+                keep_env: bool = False) -> Dict[str, jnp.ndarray]:
+    """Run the integer graph. Returns the head-output edges (raw int32
+    accumulators for the six head convs) plus, with keep_env, every edge and
+    the pre-SiLU requantized accumulators under '<conv name>:sigdom'."""
+    cfg = model.cfg
+    qmax = cfg.qmax
+    sig_lo = model.sig_lut.lo
+    env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
+
+    for idx, node in enumerate(model.graph.nodes):
+        if isinstance(node, ConvNode):
+            c = plan["convs"][node.name]
+            acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
+                                   node.padding) + c["b"]
+            if node.silu:
+                dom = requantize_i32(acc, c["r1"], c["s1"], qmax)
+                if keep_env:
+                    env[f"{node.name}:sigdom"] = dom
+                sigma = _lut_take(plan["sig_lut"], dom, sig_lo)
+                m = sigma * c["r2"]           # < 2^15, exact folding
+                env[node.dst] = requantize_i32(acc, m, c["s2"], qmax)
+            else:
+                env[node.dst] = acc
+        elif isinstance(node, SplitNode):
+            h = env[node.src].shape[1] // 2
+            env[node.dst1] = env[node.src][:, :h]
+            env[node.dst2] = env[node.src][:, h:]
+        elif isinstance(node, ResidualAddNode):
+            r, s = plan["requants"][(idx, node.src)]
+            req = requantize_i32(env[node.src], r, s, qmax)
+            if keep_env:
+                env[f"{node.label}:rescale"] = req
+            out = req + env[node.base]
+            bound = model.clip_after_residual.get(idx)
+            if bound is not None:
+                out = jnp.clip(out, -bound, bound)
+            env[node.dst] = out
+        elif isinstance(node, ConcatNode):
+            parts = []
+            for e in node.srcs:
+                t = env[e]
+                if (idx, e) in plan["requants"]:
+                    r, s = plan["requants"][(idx, e)]
+                    t = requantize_i32(t, r, s, qmax)
+                    if keep_env:
+                        env[f"{node.label}:{e}:requant"] = t
+                parts.append(t)
+            env[node.dst] = jnp.concatenate(parts, axis=1)
+        elif isinstance(node, MaxPoolNode):
+            env[node.dst] = maxpool2d(env[node.src], node.kernel,
+                                      node.stride, node.padding)
+        elif isinstance(node, UpsampleNode):
+            env[node.dst] = upsample_nearest(env[node.src], node.factor)
+
+    outs = {role: env[e] for role, e in model.graph.outputs.items()}
+    if keep_env:
+        outs["__env__"] = env
+    return outs
+
+
+def head_conv_name(role: str) -> str:
+    return {"p3_box": "x_result_5_up_2", "p3_cls": "x_result_5_down_2",
+            "p4_box": "x_result_6_up_2", "p4_cls": "x_result_6_down_2",
+            "p5_box": "x_up_2", "p5_cls": "x_down_2"}[role]
+
+
+def dequantize_heads(model: QuantizedModel, outs: Dict) -> Dict:
+    deq = {}
+    for role in model.graph.outputs:
+        scale = jnp.asarray(model.convs[head_conv_name(role)].acc_scale,
+                            jnp.float32)
+        deq[role] = outs[role].astype(jnp.float32) / scale
+    return deq
+
+
+def decode_full_quant(model: QuantizedModel, plan: Dict,
+                      outs: Dict) -> jnp.ndarray:
+    """Fully-quantized head: 8-bit box requant, LUT-exponent softmax,
+    quantized DFL, quantized anchors, 16-bit LUT sigmoid classes
+    (reference stage_6_full_quant tail / stage_8_torch_full_quant.py:
+    1195-1260). Output (B, 84, N) in anchor-scale box units and 16-bit
+    sigmoid class units, ready for q_NMS."""
+    h = model.head
+    hp = plan["head"]
+    boxes, clss, shapes = [], [], []
+    for level in ("p3", "p4", "p5"):
+        bacc = outs[f"{level}_box"]
+        cacc = outs[f"{level}_cls"]
+        shapes.append((bacc.shape[2], bacc.shape[3]))
+        bq = requantize_i32(bacc, hp["box_r"][level], hp["box_s"][level],
+                            127)
+        cq = requantize_i32(cacc, hp["cls_r"][level], hp["cls_s"][level],
+                            2 ** 15 - 1)
+        b = bq.shape[0]
+        boxes.append(bq.reshape(b, 64, -1))
+        clss.append(cq.reshape(b, 80, -1))
+    box = jnp.concatenate(boxes, 2)
+    cls = jnp.concatenate(clss, 2)
+    b, _, n = box.shape
+
+    # ---- quantized softmax over the 16 DFL bins (SURVEY.md §2.3.7) ----
+    bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)   # (b,16,4,n)
+    y = bins - jnp.max(bins, axis=1, keepdims=True)          # <= 0
+    e = _lut_take(hp["exp_lut"], y, h.exp_lut.lo)            # [0,127]
+    ssum = jnp.sum(e, axis=1, keepdims=True)
+    # reference: p = int64(y/sum * 127) — float64 truncation; integer-exact
+    # equivalent (e>=0): (127*e) // sum
+    p = (127 * e) // jnp.maximum(ssum, 1)
+
+    # ---- quantized DFL conv + requant to anchor scale ----
+    acc = jnp.einsum("brcn,r->bcn", p, hp["dfl_w"])          # int32
+    dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
+                           2 ** 15 - 1)
+
+    # ---- quantized anchors ----
+    anchors, strides = make_anchors(shapes)
+    anchors_q = jnp.round(anchors * h.anchor_scale)
+    dbox = dist2bbox(dfl_q.astype(jnp.float32), anchors_q[None]) * strides
+
+    cls_sig = _lut_take(hp["cls_sig_lut"], cls, h.cls_sigmoid_lut.lo)
+    return jnp.concatenate((dbox, cls_sig.astype(jnp.float32)), 1)
+
+
+def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
+                       with_nms: bool = True, nms_params=None):
+    """Return a jittable images->detections function for this model.
+
+    dfl_w_float: the float DFL weights (required for the partial-quant
+    pipeline, whose head stays float — reference stage_6.py:598-634).
+    """
+    from alpha_yolo_quant_tpu.models.head import decode_float
+    from alpha_yolo_quant_tpu.postprocess.nms import (
+        NmsParams, non_max_suppression, q_nms_params,
+    )
+
+    plan = device_plan(model)
+    k = model.cfg.k
+    full = model.cfg.full_quant
+    if nms_params is None:
+        nms_params = (q_nms_params(model.head.anchor_scale) if full
+                      else NmsParams(conf_thres=0.25))
+    if not full:
+        if dfl_w_float is None:
+            raise ValueError("partial-quant pipeline needs dfl_w_float")
+        dfl_w = jnp.asarray(dfl_w_float, jnp.float32)
+
+    def fn(images):
+        x_q = quantize_input(images, k)
+        outs = int_forward(model, plan, x_q)
+        if full:
+            preds = decode_full_quant(model, plan, outs)
+        else:
+            preds = decode_float(dequantize_heads(model, outs), dfl_w)
+        if with_nms:
+            return non_max_suppression(preds, nms_params)
+        return preds
+
+    return fn, plan

