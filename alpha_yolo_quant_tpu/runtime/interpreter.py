@@ -33,9 +33,13 @@ from alpha_yolo_quant_tpu.quantize.transform import QuantizedModel
 
 def device_plan(model: QuantizedModel) -> Dict:
     """Convert the host plan into a pytree of device arrays (the closure
-    constants of the jitted forward)."""
-    plan: Dict = {"convs": {}, "requants": {}, "sig_lut":
-                  jnp.asarray(model.sig_lut.values, jnp.int32)}
+    constants of the jitted forward). LUTs become validated arithmetic
+    recomputations (ops/lutfast.py) — per-element gathers are too slow on
+    TPU."""
+    from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
+
+    plan: Dict = {"convs": {}, "requants": {},
+                  "sig_lut": build_fast_lut(model.sig_lut, "sigmoid")}
     for name, c in model.convs.items():
         d = {"w": jnp.asarray(c.w_q, jnp.int32),
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
@@ -52,8 +56,8 @@ def device_plan(model: QuantizedModel) -> Dict:
             "box_s": {k: jnp.asarray(v) for k, v in h.box_s.items()},
             "cls_r": {k: jnp.asarray(v) for k, v in h.cls_r.items()},
             "cls_s": {k: jnp.asarray(v) for k, v in h.cls_s.items()},
-            "exp_lut": jnp.asarray(h.exp_lut.values, jnp.int32),
-            "cls_sig_lut": jnp.asarray(h.cls_sigmoid_lut.values, jnp.int32),
+            "exp_lut": build_fast_lut(h.exp_lut, "exp"),
+            "cls_sig_lut": build_fast_lut(h.cls_sigmoid_lut, "sigmoid"),
             "dfl_w": jnp.asarray(h.dfl_w_q, jnp.int32).reshape(16),
         }
     return plan
@@ -77,16 +81,6 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
                     ).astype(jnp.int32)
 
 
-def _lut_take(table, x, lo: int):
-    """LUT gather with the reference's out-of-domain -> 0 semantics
-    (utils/silu.py:56-76). In-range inputs are guaranteed by construction
-    (requantize clips into the domain), but keep the guard exact."""
-    n = table.shape[0]
-    idx = x - lo
-    ok = (idx >= 0) & (idx < n)
-    return jnp.where(ok, jnp.take(table, jnp.clip(idx, 0, n - 1)), 0)
-
-
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False) -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
@@ -94,7 +88,6 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     the pre-SiLU requantized accumulators under '<conv name>:sigdom'."""
     cfg = model.cfg
     qmax = cfg.qmax
-    sig_lo = model.sig_lut.lo
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
 
     for idx, node in enumerate(model.graph.nodes):
@@ -106,7 +99,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 dom = requantize_i32(acc, c["r1"], c["s1"], qmax)
                 if keep_env:
                     env[f"{node.name}:sigdom"] = dom
-                sigma = _lut_take(plan["sig_lut"], dom, sig_lo)
+                sigma = plan["sig_lut"].apply(dom)
                 m = sigma * c["r2"]           # < 2^15, exact folding
                 env[node.dst] = requantize_i32(acc, m, c["s2"], qmax)
             else:
@@ -191,7 +184,7 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
     # ---- quantized softmax over the 16 DFL bins (SURVEY.md §2.3.7) ----
     bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)   # (b,16,4,n)
     y = bins - jnp.max(bins, axis=1, keepdims=True)          # <= 0
-    e = _lut_take(hp["exp_lut"], y, h.exp_lut.lo)            # [0,127]
+    e = hp["exp_lut"].apply(y)                               # [0,127]
     ssum = jnp.sum(e, axis=1, keepdims=True)
     # reference: p = int64(y/sum * 127) — float64 truncation; integer-exact
     # equivalent (e>=0): (127*e) // sum
@@ -207,7 +200,7 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
     anchors_q = jnp.round(anchors * h.anchor_scale)
     dbox = dist2bbox(dfl_q.astype(jnp.float32), anchors_q[None]) * strides
 
-    cls_sig = _lut_take(hp["cls_sig_lut"], cls, h.cls_sigmoid_lut.lo)
+    cls_sig = hp["cls_sig_lut"].apply(cls)
     return jnp.concatenate((dbox, cls_sig.astype(jnp.float32)), 1)
 
 

@@ -30,7 +30,7 @@ def _ensure_pkg(name: str):
 # Leaves with no intra-package imports, loaded eagerly so that
 # ``from yolov8n_quantisation...utils.X import *`` inside other reference
 # modules resolves from sys.modules.
-_BASE_LEAVES = ("utils.scale", "utils.a", "utils.clip")
+_BASE_LEAVES = ("stage_0", "utils.scale", "utils.a", "utils.clip")
 
 
 def load(leaf: str):
