@@ -1,0 +1,69 @@
+"""Batched COCO-val evaluation harness (the stage-3/4/8 loops, TPU-first).
+
+One jitted step runs forward + decode + NMS for a whole batch; detections
+come back as fixed-shape (B, max_det, 6) arrays and are turned into metric
+rows on host. With a device mesh the batch axis shards over ICI
+(parallel.mesh) — the reference loops images one at a time on host
+(stage_4.py:975-1011).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from alpha_yolo_quant_tpu.data.coco import CocoValDataset, batches
+from alpha_yolo_quant_tpu.eval.metrics import map50_95
+from alpha_yolo_quant_tpu.eval.records import (
+    annotation_rows, detection_rows, to_metric_arrays,
+)
+from alpha_yolo_quant_tpu.postprocess.nms import scale_boxes
+
+
+@dataclasses.dataclass
+class EvalResult:
+    map50_95: float
+    per_iou: Dict[float, float]
+    n_images: int
+    images_per_s: float
+
+
+def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
+             image_size: int = 640, box_descale: float = 1.0,
+             conf_scale: float = 1.0, progress: bool = False) -> EvalResult:
+    """step(images f32 (B,3,S,S)) -> (det (B,max_det,6), n_det (B,)).
+
+    Boxes are expected in the model frame; annotations are normalized by
+    the original image size per the reference convention (detections stay
+    in the 640 frame because the reference's `orig_img` is the resized
+    tensor — stage_4.py:476, utils/coco.py:152-175).
+    """
+    ann_rows: List[list] = []
+    det_rows: List[list] = []
+    n_img = 0
+    t_dev = 0.0
+    for imgs, samples in batches(ds, batch_size, image_size):
+        t0 = time.perf_counter()
+        det, n_det = jax.device_get(step(imgs))
+        t_dev += time.perf_counter() - t0
+        for b, s in enumerate(samples):
+            if s is None:
+                continue
+            n_img += 1
+            ann_rows.extend(annotation_rows(s.image_id, s.boxes_xywh,
+                                            s.classes, s.orig_hw))
+            det_rows.extend(detection_rows(s.image_id, np.asarray(det[b]),
+                                           int(n_det[b]),
+                                           frame=float(image_size)))
+        if progress:
+            print(f"\r{n_img}/{len(ds)}", end="", flush=True)
+    if progress:
+        print()
+    ann, det_arr = to_metric_arrays(ann_rows, det_rows)
+    m, per_iou = map50_95(ann, det_arr)
+    return EvalResult(map50_95=m, per_iou=per_iou, n_images=n_img,
+                      images_per_s=n_img / t_dev if t_dev else 0.0)

@@ -33,6 +33,18 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def data_parallel_step(fn, mesh: Mesh, axis: str = "dp"):
+    """Wrap a per-batch function as a batch-data-parallel SPMD step via
+    shard_map: each device runs fn on its local batch shard; outputs stay
+    batch-sharded. This sidesteps global-sharding propagation through
+    control flow (NMS while_loops) and is the serving-path pattern."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    p = PartitionSpec(axis)
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(p,), out_specs=p))
+
+
 def sharded_forward_fn(graph, mesh: Mesh, decode: bool = True,
                        collect_taps: bool = False, axis: str = "dp"):
     """Build a jitted batch-data-parallel forward (+decode) step.

@@ -34,6 +34,10 @@ class NmsParams:
     max_nms: int = 30000
     max_wh: float = 7680.0
     agnostic: bool = False
+    # candidate pre-truncation: keep only the top-k scores before NMS.
+    # None = all candidates (the reference float path); the reference q_NMS
+    # itself truncates to 1000 (stage_8_torch_full_quant.py:260).
+    pre_topk: int = None  # type: ignore[assignment]
     # Integer (q_NMS) mode: boxes are in anchor-scale units, scores in
     # 16-bit sigmoid units. `plus_one` is the +1 area term in those units.
     quantized: bool = False
@@ -49,7 +53,7 @@ def q_nms_params(anchor_scale: float, iou_thres: float = 0.45,
     hard-codes 412 / 412.1635 / 8192 / 2.22 for K=16, anchors max 79.5)."""
     return NmsParams(conf_thres=float(conf_thres_int), iou_thres=iou_thres,
                      quantized=True, box_scale=float(anchor_scale),
-                     score_scale=score_scale,
+                     score_scale=score_scale, pre_topk=1000,
                      plus_one=float(int(round(anchor_scale))))
 
 
@@ -63,11 +67,18 @@ def xywh2xyxy(x):
 
 def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
                      quantized):
-    """Greedy NMS over padded candidates.
+    """Greedy NMS over score-sorted padded candidates.
 
-    boxes: (N,4) xyxy (already class-offset), scores: (N,), valid: (N,) bool.
-    Returns keep mask (N,) with at most max_det True, identical to the
-    sequential greedy algorithm in score order.
+    boxes: (N,4) xyxy (already class-offset), SORTED by descending score;
+    scores: (N,); valid: (N,) bool. Returns keep mask (N,) with at most
+    max_det True — identical to sequential greedy NMS.
+
+    Implementation: greedy NMS is the unique fixpoint of
+        keep_i = valid_i AND no higher-ranked kept box suppresses i,
+    computed by Jacobi iteration (one MXU matvec per step). A node settles
+    once all its higher-ranked suppressors have settled, so the iteration
+    converges within the suppression-DAG depth — a handful of steps on real
+    detections — instead of the max_det-step sequential scan.
     """
     n = boxes.shape[0]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -88,37 +99,39 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
         iou = inter / (areas[:, None] + areas[None, :] - inter)
         suppress = iou > iou_thres
 
-    neg_inf = jnp.float32(-jnp.inf)
-    order_scores = jnp.where(valid, scores, neg_inf)
+    # rank by descending score, ties broken by lower index (matches the
+    # score-sorted candidate order used by non_max_suppression)
+    idx = jnp.arange(n)
+    higher = (scores[:, None] > scores[None, :]) | (
+        (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
+    t_mat = (suppress & higher & valid[:, None]).astype(jnp.float32)
 
-    def body(state, _):
-        keep, alive, os = state
-        i = jnp.argmax(os)
-        ok = os[i] > neg_inf
-        # argmax of an all--inf row returns 0; never un-keep a prior winner.
-        keep = keep.at[i].set(keep[i] | ok)
-        # suppress everything the winner overlaps (including itself)
-        kill = suppress[i] | (jnp.arange(n) == i)
-        alive = alive & (~kill | ~ok)
-        os = jnp.where(alive, jnp.where(valid, scores, neg_inf), neg_inf)
-        return (keep, alive, os), None
+    def cond(c):
+        keep, prev, it = c
+        return (it < n) & jnp.any(keep != prev)
 
-    keep0 = jnp.zeros((n,), bool)
-    alive0 = jnp.ones((n,), bool)
-    (keep, _, _), _ = jax.lax.scan(body, (keep0, alive0, order_scores),
-                                   None, length=max_det)
-    return keep
+    def body(c):
+        keep, _, it = c
+        killed = (keep.astype(jnp.float32) @ t_mat) > 0.5
+        return valid & ~killed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+    # truncate the survivor list to max_det in score order
+    # (reference coord: i = i[:max_det])
+    within = jnp.cumsum(keep.astype(jnp.int32)) <= max_det
+    return keep & within
 
 
-def _select_candidates(pred, max_nms, conf_thres):
-    """pred: (84, N) -> fixed-size top-max_nms candidate set.
+def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
+    """pred: (84, N) -> fixed-size top-k candidate set, score-sorted.
     Returns (boxes_xyxy (M,4), conf (M,), cls (M,), valid (M,))."""
     box = xywh2xyxy(pred[:4].T)                # (N,4)
     cls_scores = pred[4:]                      # (80, N)
     conf = jnp.max(cls_scores, axis=0)
     cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
     valid = conf > conf_thres
-    m = min(max_nms, conf.shape[0])
+    m = min(pre_topk or max_nms, max_nms, conf.shape[0])
     score_for_sort = jnp.where(valid, conf, -jnp.inf)
     _, idx = jax.lax.top_k(score_for_sort, m)
     return box[idx], conf[idx], cls[idx], valid[idx]
@@ -138,7 +151,7 @@ def non_max_suppression(preds, params: NmsParams = NmsParams()):
 
     def single(pred):
         boxes, conf, cls, valid = _select_candidates(
-            pred, p.max_nms, jnp.float32(p.conf_thres))
+            pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
         keep = _greedy_nms_mask(shifted, conf, valid, p.iou_thres,

@@ -191,7 +191,11 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
     p = (127 * e) // jnp.maximum(ssum, 1)
 
     # ---- quantized DFL conv + requant to anchor scale ----
-    acc = jnp.einsum("brcn,r->bcn", p, hp["dfl_w"])          # int32
+    # f32 dot is exact here (|p|<=127, |w|<=127, 16 taps -> < 2^21) and
+    # avoids the TPU's emulated integer dot.
+    acc = jnp.einsum("brcn,r->bcn", p.astype(jnp.float32),
+                     hp["dfl_w"].astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
     dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
                            2 ** 15 - 1)
 

@@ -23,34 +23,35 @@ def main():
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
-    from alpha_yolo_quant_tpu.models.forward import forward_float
     from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
-    from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.models.params import init_params
-    from alpha_yolo_quant_tpu.postprocess.nms import (
-        NmsParams, non_max_suppression,
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_stats, reduce_stats,
     )
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
 
-    cfg = QuantConfig(model="yolov8n", k=8)
+    cfg = QuantConfig(model="yolov8n", k=8, full_quant=True)
     graph = build_yolov8_graph(cfg)
     params = init_params(graph, seed=0)
-    metric = "yolov8n_640_fp32_e2e"
+    metric = "yolov8n_640_int8_e2e"
 
-    @jax.jit
-    def step(params, images):
-        outs, _ = forward_float(graph, params, images)
-        preds = decode_float(outs, params["dfl"]["w"])
-        return non_max_suppression(preds, NmsParams(conf_thres=0.25))
+    calib = np.random.default_rng(1).uniform(
+        0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model)
+    step = jax.jit(fn)
 
     images = np.random.default_rng(0).uniform(
         0, 1, (BATCH, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     images = jax.device_put(images)
 
     for _ in range(WARMUP):
-        jax.block_until_ready(step(params, images))
+        jax.block_until_ready(step(images))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = step(params, images)
+        out = step(images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -33,4 +33,7 @@ preds = bench("decode_full", dec, outs)
 nmsp = q_nms_params(qm.head.anchor_scale)
 nms = jax.jit(lambda pr: non_max_suppression(pr, nmsp))
 det = bench("q_nms", nms, preds)
+print("e2e:", flush=True)
+full = jax.jit(lambda a: nms(dec(fwd(quantize_input(a,8)))))
+bench("full e2e", full, x, iters=10)
 print("done", flush=True)
