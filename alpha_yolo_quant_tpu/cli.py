@@ -1,0 +1,324 @@
+"""Pipeline CLI — the stage scripts as subcommands over a shared artifact
+store.
+
+The reference is driven by editing stage_0.py and running nine stage
+scripts in order (reference README.md:41-53); here each stage is a
+subcommand with flags, all writing into one artifact directory:
+
+  prepare    stage 1+2: load checkpoint, fuse BatchNorm, save fused params
+  calibrate  stage 4+5: activation statistics -> max_a_all.txt + max_a.txt
+  quantize   stage 6/6b: build the integer model, golden-image run, export
+             the full artifact tree (Verilog txt, pickles, packed weights)
+  eval-float stage 3/4: fp32 COCO mAP
+  eval-int8  stage 8/8b: quantized COCO mAP (float NMS or full q_NMS)
+  memsim     stage 8c: SRAM allocation simulation
+  demo       golden-image smoke test with a detection plot
+  bench      single-chip throughput
+
+Run as: python -m alpha_yolo_quant_tpu.cli <command> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _cfg(args):
+    from alpha_yolo_quant_tpu.config import QuantConfig
+
+    return QuantConfig(model=args.model, k=args.k,
+                       calib_mode=getattr(args, "mode", "max"),
+                       full_quant=getattr(args, "full_quant", False),
+                       image_size=args.image_size)
+
+
+def _graph_params(args, cfg):
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+    from alpha_yolo_quant_tpu.models.params import init_params
+    from alpha_yolo_quant_tpu.utils.params_io import load_params
+
+    graph = build_yolov8_graph(cfg)
+    if getattr(args, "weights", None):
+        params = load_params(args.weights)
+    else:
+        print("NOTE: no --weights given; using random init", file=sys.stderr)
+        params = init_params(graph, seed=0)
+    return graph, params
+
+
+def _load_max_a(args):
+    from alpha_yolo_quant_tpu.utils.io import read_max_a
+
+    return read_max_a(args.max_a)
+
+
+def _calib_batches(args, cfg):
+    if args.coco_images and args.coco_ann:
+        from alpha_yolo_quant_tpu.data.coco import CocoValDataset, batches
+
+        ds = CocoValDataset(args.coco_images, args.coco_ann,
+                            limit=args.limit)
+        for imgs, _ in batches(ds, args.batch_size, cfg.image_size):
+            yield imgs
+    else:
+        print("NOTE: no COCO path; using synthetic calibration batches",
+              file=sys.stderr)
+        rng = np.random.default_rng(0)
+        for _ in range(max(1, (args.limit or 8) // args.batch_size)):
+            yield rng.uniform(0, 1, (args.batch_size, 3, cfg.image_size,
+                                     cfg.image_size)).astype(np.float32)
+
+
+def cmd_prepare(args):
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+    from alpha_yolo_quant_tpu.models.params import (
+        fuse_batchnorm, init_raw_params, load_torch_checkpoint,
+    )
+    from alpha_yolo_quant_tpu.export.artifacts import make_dirs
+    from alpha_yolo_quant_tpu.utils.params_io import save_params
+
+    cfg = _cfg(args)
+    graph = build_yolov8_graph(cfg)
+    if args.checkpoint:
+        raw = load_torch_checkpoint(graph, args.checkpoint)
+    else:
+        print("NOTE: no --checkpoint; random raw params", file=sys.stderr)
+        raw = init_raw_params(graph, seed=0)
+    fused = fuse_batchnorm(graph, raw)
+    make_dirs(args.out)
+    path = os.path.join(args.out, "results", "weights_batchnf.npz")
+    save_params(fused, path)
+    print(f"fused params -> {path}")
+
+
+def cmd_calibrate(args):
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_samples, collect_stats, reduce_stats,
+    )
+    from alpha_yolo_quant_tpu.export.artifacts import make_dirs
+    from alpha_yolo_quant_tpu.utils.io import write_max_a, write_max_a_all
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+    records = collect_stats(graph, params, _calib_batches(args, cfg))
+    samples = None
+    if cfg.calib_mode.lower() == "min_mae":
+        taps = [c.tap for c in graph.convs()]
+        samples = collect_samples(graph, params,
+                                  _calib_batches(args, cfg), taps)
+    max_a = reduce_stats(records, cfg.calib_mode, cfg.k, samples)
+    make_dirs(args.out)
+    write_max_a_all(os.path.join(args.out, "results", "max_a_all.txt"),
+                    {k: v for k, v in records.items()
+                     if not k.startswith("_")})
+    path = os.path.join(args.out, "results", "max_a.txt")
+    write_max_a(path, max_a)
+    print(f"calibration ({cfg.calib_mode}) -> {path}")
+
+
+def cmd_quantize(args):
+    from alpha_yolo_quant_tpu.data.coco import load_image_square
+    from alpha_yolo_quant_tpu.export.artifacts import export_all
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.golden import golden_forward
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+    max_a = _load_max_a(args)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    if args.image:
+        img = load_image_square(args.image, cfg.image_size)[None]
+    else:
+        img = np.random.default_rng(0).uniform(
+            0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    env = golden_forward(model, img)
+    export_all(model, env, params, args.out)
+    print(f"quantized artifacts -> {args.out}")
+
+
+def _eval_common(args, step, comment, stage):
+    from alpha_yolo_quant_tpu.data.coco import CocoValDataset
+    from alpha_yolo_quant_tpu.eval.harness import evaluate
+    from alpha_yolo_quant_tpu.export.artifacts import make_dirs
+    from alpha_yolo_quant_tpu.utils.run_log import write_run_result
+
+    cfg = _cfg(args)
+    ds = CocoValDataset(args.coco_images, args.coco_ann, limit=args.limit)
+    res = evaluate(step, ds, args.batch_size, cfg.image_size,
+                   progress=True)
+    print(f"mAP50-95: {res.map50_95:.4f} over {res.n_images} images "
+          f"({res.images_per_s:.1f} img/s device)")
+    make_dirs(args.out)
+    write_run_result(args.out, res.map50_95, stage, comment)
+    return res
+
+
+def cmd_eval_float(args):
+    import jax
+
+    from alpha_yolo_quant_tpu.models.forward import forward_float
+    from alpha_yolo_quant_tpu.models.head import decode_float
+    from alpha_yolo_quant_tpu.postprocess.nms import (
+        NmsParams, non_max_suppression,
+    )
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+
+    @jax.jit
+    def step(images):
+        outs, _ = forward_float(graph, params, images)
+        preds = decode_float(outs, params["dfl"]["w"])
+        return non_max_suppression(
+            preds, NmsParams(conf_thres=args.conf_thres, pre_topk=1000))
+
+    _eval_common(args, step, "fp32 BN-fused", 4)
+
+
+def cmd_eval_int8(args):
+    import jax
+
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+    max_a = _load_max_a(args)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+                               engine=args.engine)
+    step = jax.jit(fn)
+    _eval_common(args, step,
+                 f"int{cfg.k}" + (" full-quant q_NMS" if cfg.full_quant
+                                  else " float NMS"), 7)
+
+
+def cmd_memsim(args):
+    from alpha_yolo_quant_tpu.export.artifacts import make_dirs
+    from alpha_yolo_quant_tpu.hwsim.sram import simulate
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+
+    cfg = _cfg(args)
+    graph = build_yolov8_graph(cfg)
+    sim = simulate(graph, cfg.image_size)
+    make_dirs(args.out)
+    sim.write_memory_txt(os.path.join(args.out, "results", "memory.txt"))
+    sim.write_final_memory(os.path.join(args.out, "results",
+                                        "final_memory.txt"))
+    print(f"peak occupancy: {sim.peak_cells} cells "
+          f"({sim.peak_rows} rows of 8) -> {args.out}/results/")
+
+
+def cmd_demo(args):
+    import jax.numpy as jnp
+
+    from alpha_yolo_quant_tpu.data.coco import load_image_square
+    from alpha_yolo_quant_tpu.eval.plots import plot_detections
+    from alpha_yolo_quant_tpu.eval.records import COCO_NAMES
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+    max_a = _load_max_a(args)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+    img = load_image_square(args.image, cfg.image_size)[None]
+    det, n_det = fn(jnp.asarray(img))
+    det = np.asarray(det[0])[: int(n_det[0])]
+    print(f"{len(det)} detections")
+    for row in det[:20]:
+        print(f"  {COCO_NAMES[int(row[5])]:<15} {row[4]:.3f} "
+              f"[{row[0]:.1f}, {row[1]:.1f}, {row[2]:.1f}, {row[3]:.1f}]")
+    if args.plot:
+        plot_detections(img[0], det[:, :4],
+                        [COCO_NAMES[int(c)] for c in det[:, 5]],
+                        det[:, 4], args.plot)
+        print(f"plot -> {args.plot}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="alpha_yolo_quant_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, weights=True):
+        sp.add_argument("--model", default="yolov8n",
+                        choices=["yolov8n", "yolov8s"])
+        sp.add_argument("--k", type=int, default=8)
+        sp.add_argument("--image-size", type=int, default=640)
+        sp.add_argument("--out", default="artifacts/8_nano")
+        if weights:
+            sp.add_argument("--weights", help="fused params .npz")
+
+    sp = sub.add_parser("prepare", help="load checkpoint + fuse BatchNorm")
+    common(sp, weights=False)
+    sp.add_argument("--checkpoint", help="torch .pt state dict")
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("calibrate", help="activation statistics -> max_a")
+    common(sp)
+    sp.add_argument("--mode", default="max")
+    sp.add_argument("--coco-images")
+    sp.add_argument("--coco-ann")
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.set_defaults(fn=cmd_calibrate)
+
+    sp = sub.add_parser("quantize", help="integer transform + full export")
+    common(sp)
+    sp.add_argument("--max-a", required=True)
+    sp.add_argument("--full-quant", action="store_true")
+    sp.add_argument("--image", help="golden image (jpg/png)")
+    sp.set_defaults(fn=cmd_quantize)
+
+    for name, fn in (("eval-float", cmd_eval_float),
+                     ("eval-int8", cmd_eval_int8)):
+        sp = sub.add_parser(name, help=f"COCO mAP ({name})")
+        common(sp)
+        sp.add_argument("--coco-images", required=True)
+        sp.add_argument("--coco-ann", required=True)
+        sp.add_argument("--limit", type=int, default=None)
+        sp.add_argument("--batch-size", type=int, default=16)
+        sp.add_argument("--conf-thres", type=float, default=0.001)
+        if name == "eval-int8":
+            sp.add_argument("--max-a", required=True)
+            sp.add_argument("--full-quant", action="store_true")
+            sp.add_argument("--engine", default="xla",
+                            choices=["xla", "pallas"])
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("memsim", help="SRAM allocation simulation")
+    common(sp, weights=False)
+    sp.set_defaults(fn=cmd_memsim)
+
+    sp = sub.add_parser("demo", help="single-image smoke run")
+    common(sp)
+    sp.add_argument("--max-a", required=True)
+    sp.add_argument("--full-quant", action="store_true")
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--plot")
+    sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser("bench", help="single-chip throughput")
+    common(sp, weights=False)
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

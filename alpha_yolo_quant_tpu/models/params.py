@@ -87,14 +87,17 @@ def fuse_batchnorm(graph: Graph, raw: Dict) -> Dict:
 
 
 def init_params(graph: Graph, seed: int = 0) -> Dict:
-    """Random fused params (He-style) for tests/benchmarks when no
-    checkpoint is available. DFL weight is arange(16) like the real model
-    (reference stage_2.py:471-475)."""
+    """Random fused params for tests/benchmarks when no checkpoint is
+    available. Variance-conserving gain (1/fan_in) rather than He — with
+    60+ stacked SiLU convs He-init activations grow until the calibrated
+    requantization becomes infeasible (shift<1, where the reference's
+    rescale derivation aborts: utils/rescale_coeff.py:40-42). DFL weight is
+    arange(16) like the real model (reference stage_2.py:471-475)."""
     rng = np.random.default_rng(seed)
     params: Dict[str, Dict[str, np.ndarray]] = {}
     for node in graph.convs():
         fan_in = node.cin * node.kernel * node.kernel
-        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+        w = rng.normal(0.0, np.sqrt(1.0 / fan_in),
                        size=(node.cout, node.cin, node.kernel, node.kernel))
         b = rng.normal(0.0, 0.02, size=(node.cout,))
         params[node.key] = {"w": w.astype(np.float32),
@@ -110,7 +113,8 @@ def init_raw_params(graph: Graph, seed: int = 0) -> Dict:
     raw: Dict[str, Dict[str, np.ndarray]] = {}
     for node in graph.convs():
         fan_in = node.cin * node.kernel * node.kernel
-        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+        # variance-conserving gain — see init_params
+        w = rng.normal(0.0, np.sqrt(1.0 / fan_in),
                        size=(node.cout, node.cin, node.kernel,
                              node.kernel)).astype(np.float32)
         if conv_has_bn(node):

@@ -24,7 +24,11 @@ import numpy as np
 
 from alpha_yolo_quant_tpu.quantize.luts import Lut
 
-MAX_CORRECTIONS = 64
+# Corrections are fused selects — cheap even in the hundreds. The 16-bit
+# sigmoid table needs ~200 on TPU (Mosaic/XLA f32 transcendentals round
+# differently from numpy's float32 math); the gather fallback costs ~80ms
+# per batch and only exists as a safety net.
+MAX_CORRECTIONS = 1024
 
 
 def _sigmoid_core(lut: Lut):

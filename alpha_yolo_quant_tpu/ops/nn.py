@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -35,6 +36,7 @@ def maxpool2d(x, kernel: int = 5, stride: int = 1, padding: int = 2,
         min_val = (jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype,
                                                             jnp.integer)
                    else -jnp.inf)
+    min_val = np.dtype(x.dtype).type(min_val)
     return lax.reduce_window(
         x, min_val, lax.max,
         window_dimensions=(1, 1, kernel, kernel),
@@ -59,16 +61,13 @@ def upsample_nearest(x, factor: int = 2):
 # give a bit-exact int32 accumulator with full MXU throughput.
 # ---------------------------------------------------------------------------
 
-def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
-    """Exact integer conv: int32[N,C,H,W] x int32[O,I,kh,kw] -> int32.
-
-    Preconditions (asserted by the quantization plan, not here):
-      |x| < 2^9 (int8 activations, or 9-bit residual-sum concats),
-      |w| <= 2^(K-1)-1 <= 127,
-      per-output accumulation bound 127*16*taps < 2^24.
-    """
-    x_hi = jnp.right_shift(x_int, 4)          # arithmetic: in [-2^5, 2^5)
-    x_lo = jnp.bitwise_and(x_int, 15)         # in [0, 15]
+def conv2d_int_parts(x_int, w_int, stride: int = 1, padding: int = 0):
+    """The two bf16 nibble-split partial convs (f32 accumulators).
+    acc = 16*hi + lo; the combine is fused downstream (Pallas) or done by
+    conv2d_int_exact."""
+    x32 = x_int.astype(jnp.int32)
+    x_hi = jnp.right_shift(x32, 4)            # arithmetic: in [-2^5, 2^5)
+    x_lo = jnp.bitwise_and(x32, 15)           # in [0, 15]
     w_b = w_int.astype(jnp.bfloat16)
 
     def part(p):
@@ -78,6 +77,16 @@ def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32)
 
-    acc_hi = part(x_hi)
-    acc_lo = part(x_lo)
+    return part(x_hi), part(x_lo)
+
+
+def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
+    """Exact integer conv: int[N,C,H,W] x int[O,I,kh,kw] -> int32.
+
+    Preconditions (asserted by the quantization plan, not here):
+      |x| < 2^9 (int8 activations, or 9-bit residual-sum concats),
+      |w| <= 2^(K-1)-1 <= 127,
+      per-output accumulation bound 127*16*taps < 2^24.
+    """
+    acc_hi, acc_lo = conv2d_int_parts(x_int, w_int, stride, padding)
     return (acc_hi.astype(jnp.int32) * 16) + acc_lo.astype(jnp.int32)

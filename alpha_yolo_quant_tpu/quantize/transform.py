@@ -167,10 +167,22 @@ def build_quantized_model(graph: Graph, params: Dict,
             if node.silu:
                 a_out = max_a[node.out_tap]
                 out_s = scale_for(a_out, k)
+                # Requantization feasibility: with an 8-bit rescale budget,
+                # shift = koeff_bits + floor(log2(old/new)) must stay >= 1
+                # (after the possible retry at shift-1). The reference
+                # simply exit()s when the budget is blown
+                # (utils/rescale_coeff.py:40-42); we clamp the calibrated
+                # output scale to the representable range and warn.
+                old2 = scale_for(1.0, k) * acc_scale
+                feas = float(np.min(old2)) * 2.0 ** (cfg.koeff_bits - 2)
+                if out_s > feas:
+                    if bias_warn:
+                        bias_warn(f"{node.name}: calibrated a={a_out:.4g} "
+                                  "requant-infeasible; clamping", 0)
+                    out_s = feas
                 r1, s1 = derive_rescale_shift(acc_scale, sig_scale,
                                               cfg.koeff_bits)
-                r2, s2 = derive_rescale_shift(
-                    scale_for(1.0, k) * acc_scale, out_s, cfg.koeff_bits)
+                r2, s2 = derive_rescale_shift(old2, out_s, cfg.koeff_bits)
                 if np.any(np.int64(s1) < 1) or np.any(np.int64(s2) < 1):
                     raise PlanError(f"{node.name}: shift<1")
                 plan.r1 = np.int64(r1).astype(np.int32)

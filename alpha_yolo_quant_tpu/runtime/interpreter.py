@@ -31,21 +31,34 @@ from alpha_yolo_quant_tpu.ops.nn import (
 from alpha_yolo_quant_tpu.quantize.transform import QuantizedModel
 
 
-def device_plan(model: QuantizedModel) -> Dict:
+def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
     """Convert the host plan into a pytree of device arrays (the closure
     constants of the jitted forward). LUTs become validated arithmetic
     recomputations (ops/lutfast.py) — per-element gathers are too slow on
-    TPU."""
+    TPU. With pallas=True, per-channel flat constants and in-kernel sigmoid
+    corrections for the fused kernels are included."""
     from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
 
     plan: Dict = {"convs": {}, "requants": {},
                   "sig_lut": build_fast_lut(model.sig_lut, "sigmoid")}
+    if pallas:
+        from alpha_yolo_quant_tpu.runtime.pallas_ops import (
+            pallas_sigma_corrections,
+        )
+
+        plan["pallas_sigma_corrections"] = pallas_sigma_corrections(
+            model.sig_lut)
     for name, c in model.convs.items():
         d = {"w": jnp.asarray(c.w_q, jnp.int32),
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
+        if pallas:
+            d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
         if c.node.silu:
             for f in ("r1", "s1", "r2", "s2"):
                 d[f] = jnp.asarray(getattr(c, f), jnp.int32)
+                if pallas:
+                    d[f + "_c"] = jnp.asarray(
+                        getattr(c, f).reshape(-1), jnp.int32)
         plan["convs"][name] = d
     for key, r in model.requants.items():
         plan["requants"][key] = (jnp.int32(r.rescale), jnp.int32(r.shift))
@@ -82,17 +95,43 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
 
 
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
-                keep_env: bool = False) -> Dict[str, jnp.ndarray]:
+                keep_env: bool = False,
+                engine: str = "xla") -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
     accumulators for the six head convs) plus, with keep_env, every edge and
-    the pre-SiLU requantized accumulators under '<conv name>:sigdom'."""
+    the pre-SiLU requantized accumulators under '<conv name>:sigdom'.
+
+    engine: 'xla' (pure-jnp ops) or 'pallas' (fused post-conv kernels,
+    bit-identical — see runtime/pallas_ops.py)."""
     cfg = model.cfg
     qmax = cfg.qmax
+    use_pallas = engine == "pallas" and not keep_env
+    if use_pallas:
+        from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
+        from alpha_yolo_quant_tpu.runtime.pallas_ops import (
+            fused_postconv_plain, fused_postconv_silu,
+        )
+
+        sig = model.sig_lut
+        sig_scale = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
+        sig_qmax = float(2 ** (sig.bits - 1) - 1)
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
 
     for idx, node in enumerate(model.graph.nodes):
         if isinstance(node, ConvNode):
             c = plan["convs"][node.name]
+            if use_pallas:
+                hi, lo = conv2d_int_parts(env[node.src], c["w"],
+                                          node.stride, node.padding)
+                if node.silu:
+                    env[node.dst] = fused_postconv_silu(
+                        hi, lo, c["b_c"], c["r1_c"], c["s1_c"], c["r2_c"],
+                        c["s2_c"], qmax=qmax, sig_scale=sig_scale,
+                        sig_qmax=sig_qmax,
+                        corrections=plan["pallas_sigma_corrections"])
+                else:
+                    env[node.dst] = fused_postconv_plain(hi, lo, c["b_c"])
+                continue
             acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
                                    node.padding) + c["b"]
             if node.silu:
@@ -185,10 +224,16 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
     bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)   # (b,16,4,n)
     y = bins - jnp.max(bins, axis=1, keepdims=True)          # <= 0
     e = hp["exp_lut"].apply(y)                               # [0,127]
-    ssum = jnp.sum(e, axis=1, keepdims=True)
+    ssum = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1)
     # reference: p = int64(y/sum * 127) — float64 truncation; integer-exact
-    # equivalent (e>=0): (127*e) // sum
-    p = (127 * e) // jnp.maximum(ssum, 1)
+    # equivalent (e>=0): (127*e) // sum. TPU has no integer divide, so do a
+    # f32 division (possibly off by one at boundaries) and correct exactly
+    # with integer ops.
+    ne = 127 * e
+    q0 = jnp.floor(ne.astype(jnp.float32) /
+                   ssum.astype(jnp.float32)).astype(jnp.int32)
+    r = ne - q0 * ssum
+    p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
 
     # ---- quantized DFL conv + requant to anchor scale ----
     # f32 dot is exact here (|p|<=127, |w|<=127, 16 taps -> < 2^21) and
@@ -209,18 +254,20 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
 
 
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
-                       with_nms: bool = True, nms_params=None):
+                       with_nms: bool = True, nms_params=None,
+                       engine: str = "xla"):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
     pipeline, whose head stays float — reference stage_6.py:598-634).
+    engine: 'xla' | 'pallas' (fused kernels; bit-identical).
     """
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (
         NmsParams, non_max_suppression, q_nms_params,
     )
 
-    plan = device_plan(model)
+    plan = device_plan(model, pallas=(engine == "pallas"))
     k = model.cfg.k
     full = model.cfg.full_quant
     if nms_params is None:
@@ -233,7 +280,7 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
 
     def fn(images):
         x_q = quantize_input(images, k)
-        outs = int_forward(model, plan, x_q)
+        outs = int_forward(model, plan, x_q, engine=engine)
         if full:
             preds = decode_full_quant(model, plan, outs)
         else:

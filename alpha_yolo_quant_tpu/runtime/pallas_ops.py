@@ -1,0 +1,146 @@
+"""Fused Pallas TPU kernels for the quantized hot path.
+
+The integer pipeline's per-layer cost on TPU is dominated not by the convs
+(which XLA maps onto the MXU well) but by the elementwise requantization
+chain — XLA materializes the emulated-widening intermediates through HBM.
+This module fuses the whole post-conv chain
+
+    acc = 16*acc_hi + acc_lo + bias          (combine bf16-split partials)
+    dom = requant1(acc)                       (per-channel rescale/shift)
+    sigma = sigmoid_lut(dom)                  (validated arithmetic LUT)
+    out = requant2(sigma * acc)               (folded sigma*rescale mult)
+
+into one VMEM pass per tile, reading the two f32 conv partials and writing
+int8. Arithmetic is the exact same int32 emulation as ops/intmath.py —
+bit-identical to the interpreter (tested).
+
+Layout: the NCHW conv output is viewed as (B*C, H*W); blocks are
+(ROW_BLOCK, COL_BLOCK) tiles with per-row (per-channel) constants in
+(B*C, 1) columns. On CPU backends the kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+from alpha_yolo_quant_tpu.ops.intmath import requantize_i32
+
+ROW_BLOCK = 8
+COL_BLOCK = 512
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _postconv_silu_kernel(hi_ref, lo_ref, bias_ref, r1_ref, s1_ref, r2_ref,
+                          s2_ref, out_ref, *, qmax: int, sig_scale: float,
+                          sig_qmax: float,
+                          corrections: Tuple[Tuple[int, int], ...]):
+    acc = (hi_ref[:].astype(jnp.int32) * 16) + lo_ref[:].astype(jnp.int32) \
+        + bias_ref[:]
+    dom = requantize_i32(acc, r1_ref[:], s1_ref[:], qmax)
+    # validated arithmetic sigmoid (ops/lutfast.py contract)
+    d = dom.astype(jnp.float32) / np.float32(sig_scale)
+    sigma = jnp.clip(jnp.round(jax.nn.sigmoid(d) * np.float32(sig_qmax)),
+                     -sig_qmax, sig_qmax).astype(jnp.int32)
+    for i, v in corrections:
+        sigma = jnp.where(dom == i, jnp.int32(v), sigma)
+    m = sigma * r2_ref[:]
+    out_ref[:] = requantize_i32(acc, m, s2_ref[:], qmax).astype(jnp.int8)
+
+
+def _row_const(x, b):
+    """(C,) -> (B*C, 1) per-row constant."""
+    c = x.shape[0]
+    return jnp.tile(x.reshape(c, 1).astype(jnp.int32), (b, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("qmax", "sig_scale",
+                                             "sig_qmax", "corrections"))
+def fused_postconv_silu(acc_hi, acc_lo, bias_c, r1_c, s1_c, r2_c, s2_c, *,
+                        qmax: int, sig_scale: float, sig_qmax: float,
+                        corrections: Tuple[Tuple[int, int], ...] = ()):
+    """acc_hi/acc_lo: f32 (B,C,H,W) bf16-split conv partials;
+    bias_c/r*_c/s*_c: per-channel (C,) int32. Returns int8 (B,C,H,W)."""
+    b, c, h, w = acc_hi.shape
+    rows, cols = b * c, h * w
+    kernel = functools.partial(_postconv_silu_kernel, qmax=qmax,
+                               sig_scale=sig_scale, sig_qmax=sig_qmax,
+                               corrections=corrections)
+    row_spec = pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0))
+    data_spec = pl.BlockSpec((ROW_BLOCK, COL_BLOCK), lambda i, j: (i, j))
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(rows, ROW_BLOCK), pl.cdiv(cols, COL_BLOCK)),
+        in_specs=[data_spec, data_spec, row_spec, row_spec, row_spec,
+                  row_spec, row_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.int8),
+        interpret=_interpret(),
+    )(acc_hi.reshape(rows, cols), acc_lo.reshape(rows, cols),
+      _row_const(bias_c, b), _row_const(r1_c, b), _row_const(s1_c, b),
+      _row_const(r2_c, b), _row_const(s2_c, b))
+    return out.reshape(b, c, h, w)
+
+
+def _sigma_probe_kernel(dom_ref, out_ref, *, sig_scale: float,
+                        sig_qmax: float):
+    d = dom_ref[:].astype(jnp.float32) / np.float32(sig_scale)
+    out_ref[:] = jnp.clip(jnp.round(jax.nn.sigmoid(d) *
+                                    np.float32(sig_qmax)),
+                          -sig_qmax, sig_qmax).astype(jnp.int32)
+
+
+def pallas_sigma_corrections(lut) -> Tuple[Tuple[int, int], ...]:
+    """Validate the IN-KERNEL sigmoid against the bit-exact table on the
+    actual backend/compiler (Mosaic's transcendentals may round differently
+    from XLA's) and return per-entry fixups."""
+    qmax_t = float(2 ** (lut.bits - 1) - 1)
+    scale = float((2 ** (lut.bits - 1) - 1) / lut.max_val)
+    n = lut.hi - lut.lo + 1
+    pad = (-n) % 128
+    dom = np.concatenate([np.arange(lut.lo, lut.hi + 1, dtype=np.int32),
+                          np.zeros(pad, np.int32)]).reshape(-1, 128)
+    kernel = functools.partial(_sigma_probe_kernel, sig_scale=scale,
+                               sig_qmax=qmax_t)
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(dom.shape, jnp.int32),
+        interpret=_interpret(),
+    )(jnp.asarray(dom))
+    got = np.asarray(got).reshape(-1)[:n]
+    bad = np.nonzero(got != lut.values)[0]
+    return tuple((int(i + lut.lo), int(lut.values[i])) for i in bad)
+
+
+def _postconv_plain_kernel(hi_ref, lo_ref, bias_ref, out_ref):
+    out_ref[:] = (hi_ref[:].astype(jnp.int32) * 16) + \
+        lo_ref[:].astype(jnp.int32) + bias_ref[:]
+
+
+@jax.jit
+def fused_postconv_plain(acc_hi, acc_lo, bias_c):
+    """Combine + bias only (the head's final convs keep raw int32
+    accumulators)."""
+    b, c, h, w = acc_hi.shape
+    rows, cols = b * c, h * w
+    row_spec = pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0))
+    data_spec = pl.BlockSpec((ROW_BLOCK, COL_BLOCK), lambda i, j: (i, j))
+    out = pl.pallas_call(
+        _postconv_plain_kernel,
+        grid=(pl.cdiv(rows, ROW_BLOCK), pl.cdiv(cols, COL_BLOCK)),
+        in_specs=[data_spec, data_spec, row_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.int32),
+        interpret=_interpret(),
+    )(acc_hi.reshape(rows, cols), acc_lo.reshape(rows, cols),
+      _row_const(bias_c, b))
+    return out.reshape(b, c, h, w)
