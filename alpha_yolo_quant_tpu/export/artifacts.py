@@ -120,6 +120,12 @@ def export_all(model: QuantizedModel, env: Dict[str, np.ndarray],
     verilog.save_txt_activations(np.int64(env[g.input_edge]), "start",
                                  out_dir, "start_img", k, warn=warn)
 
+    # the calibration file travels with the artifacts (the stage-8 load
+    # path needs it: reference stage_8_torch.py:263)
+    from alpha_yolo_quant_tpu.utils.io import write_max_a
+
+    write_max_a(os.path.join(out_dir, "results", "max_a.txt"), model.max_a)
+
     save_layer_pickles(model, out_dir)
     save_packed_state_dict(
         model, params,

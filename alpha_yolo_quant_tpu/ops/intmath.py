@@ -79,6 +79,40 @@ def round_half_up(q):
     return jnp.right_shift(q, 1) + jnp.bitwise_and(q, 1)
 
 
+def requantize_i32_small(x, m, shift, qmax):
+    """Exact requantization for SMALL inputs: requires |m * x| < 2^31
+    (structural residual/concat requants: |x| <= 2*qmax <= 510,
+    m <= 2^8-1). One multiply + shift — no widening emulation."""
+    m_b = jnp.asarray(m, jnp.int32)
+    s_b = jnp.asarray(shift, jnp.int32)
+    q = jnp.right_shift(m_b * x.astype(jnp.int32), s_b - 1)
+    return jnp.clip(round_half_up(q), -qmax, qmax)
+
+
+def requantize_i32_bigshift(x, m, shift, qmax):
+    """Exact requantization for shift >= 16 (the conv->sigmoid-domain and
+    SiLU->output requants; the plan verifies the precondition).
+
+    Split x = a_h*2^15 + a_l (a_h = x>>15 arithmetic, a_l = x & 0x7FFF).
+    With T = m*a_h + ((m*a_l) >> 15) and S = shift-1 >= 15:
+
+        floor(m*x / 2^S) = T >> (S-15)
+
+    exactly: the discarded fraction f = (m*a_l mod 2^15)/2^15 < 1 can never
+    carry floor((T+f)/2^(S-15)) past floor(T/2^(S-15)) (T mod d <= d-1 and
+    f < 1). Ranges: |a_h| <= 2^16, m < 2^15 => |m*a_h| <= 32385*65536 <
+    2^31-1; m*a_l < 2^15 * 2^15 = 2^30. All int32-safe.
+    """
+    x32 = x.astype(jnp.int32)
+    m_b = jnp.asarray(m, jnp.int32)
+    s_b = jnp.asarray(shift, jnp.int32)
+    a_h = jnp.right_shift(x32, 15)
+    a_l = jnp.bitwise_and(x32, 0x7FFF)
+    t = m_b * a_h + jnp.right_shift(m_b * a_l, 15)
+    q = jnp.right_shift(t, s_b - 16)           # (shift-1) - 15
+    return jnp.clip(round_half_up(q), -qmax, qmax)
+
+
 def requantize_i32(x, m, shift, qmax):
     """Exact hardware requantization on int32 lanes.
 

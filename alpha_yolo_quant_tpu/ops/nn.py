@@ -28,7 +28,7 @@ def silu(x):
 
 
 def maxpool2d(x, kernel: int = 5, stride: int = 1, padding: int = 2,
-              min_val=None):
+              min_val=None, nhwc: bool = False):
     """Max-pool with the window clipped to the valid region (padding cells
     never win). Matches both torch MaxPool2d and the reference's numpy
     pooling (utils/maxpooling_batch.py:27-103)."""
@@ -37,16 +37,20 @@ def maxpool2d(x, kernel: int = 5, stride: int = 1, padding: int = 2,
                                                             jnp.integer)
                    else -jnp.inf)
     min_val = np.dtype(x.dtype).type(min_val)
-    return lax.reduce_window(
-        x, min_val, lax.max,
-        window_dimensions=(1, 1, kernel, kernel),
-        window_strides=(1, 1, stride, stride),
-        padding=((0, 0), (0, 0), (padding, padding), (padding, padding)))
+    if nhwc:
+        dims, strides = (1, kernel, kernel, 1), (1, stride, stride, 1)
+        pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    else:
+        dims, strides = (1, 1, kernel, kernel), (1, 1, stride, stride)
+        pad = ((0, 0), (0, 0), (padding, padding), (padding, padding))
+    return lax.reduce_window(x, min_val, lax.max, window_dimensions=dims,
+                             window_strides=strides, padding=pad)
 
 
-def upsample_nearest(x, factor: int = 2):
+def upsample_nearest(x, factor: int = 2, nhwc: bool = False):
     """Nearest 2x upsample = repeat along H and W (reference stage_6.py:72-73)."""
-    return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+    h_ax, w_ax = (1, 2) if nhwc else (2, 3)
+    return jnp.repeat(jnp.repeat(x, factor, axis=h_ax), factor, axis=w_ax)
 
 
 # ---------------------------------------------------------------------------
@@ -61,23 +65,50 @@ def upsample_nearest(x, factor: int = 2):
 # give a bit-exact int32 accumulator with full MXU throughput.
 # ---------------------------------------------------------------------------
 
-def conv2d_int_parts(x_int, w_int, stride: int = 1, padding: int = 0):
+def conv2d_int_parts(x_int, w_int, stride: int = 1, padding: int = 0,
+                     nhwc: bool = False):
     """The two bf16 nibble-split partial convs (f32 accumulators).
     acc = 16*hi + lo; the combine is fused downstream (Pallas) or done by
-    conv2d_int_exact."""
+    conv2d_int_exact. With nhwc=True, x is NHWC and w is HWIO — the TPU's
+    native layout (no compiler-inserted transposes around each conv)."""
     x32 = x_int.astype(jnp.int32)
     x_hi = jnp.right_shift(x32, 4)            # arithmetic: in [-2^5, 2^5)
     x_lo = jnp.bitwise_and(x32, 15)           # in [0, 15]
     w_b = w_int.astype(jnp.bfloat16)
+    dn = (("NHWC", "HWIO", "NHWC") if nhwc else ("NCHW", "OIHW", "NCHW"))
 
     def part(p):
         return lax.conv_general_dilated(
             p.astype(jnp.bfloat16), w_b, window_strides=(stride, stride),
             padding=[(padding, padding), (padding, padding)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
 
     return part(x_hi), part(x_lo)
+
+
+def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
+                    wide_input: bool = False):
+    """Exact integer conv on the native s8 MXU path: int8 x int8 -> int32
+    accumulators (always exact — hardware integer accumulation).
+
+    wide_input: the activation can exceed int8 (9-bit residual-sum concats,
+    |x| <= 2*qmax). Split x = clip(x,+-127) + remainder — both int8 — and
+    run two convs (reference concats carry at most one extra bit).
+    """
+    dn = ("NCHW", "OIHW", "NCHW")
+
+    def c(p):
+        return lax.conv_general_dilated(
+            p, w_i8, window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+    if wide_input:
+        x32 = x_int.astype(jnp.int32)
+        x1 = jnp.clip(x32, -127, 127)
+        x2 = x32 - x1
+        return c(x1.astype(jnp.int8)) + c(x2.astype(jnp.int8))
+    return c(x_int.astype(jnp.int8))
 
 
 def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):

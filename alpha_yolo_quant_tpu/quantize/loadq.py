@@ -1,0 +1,53 @@
+"""Rebuild a runnable QuantizedModel from exported artifacts.
+
+The stage-8 load path (reference stage_8_torch.py:262-268, 965-968): the
+runtime is reconstructed from the per-layer weight pickles + stored
+bias_scales + max_a.txt, without re-running the quantizer. Every requant
+constant derives deterministically from acc_scale + max_a, so the loaded
+plan is bit-identical to the originally built one (tests/test_loadq.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.export.pickles import load_gz_pickle, load_scales
+from alpha_yolo_quant_tpu.models.graph import Graph, build_yolov8_graph
+from alpha_yolo_quant_tpu.quantize.transform import (
+    QuantizedModel, build_quantized_model,
+)
+from alpha_yolo_quant_tpu.utils.io import read_max_a
+
+
+def model_from_artifacts(out_dir: str, cfg: QuantConfig,
+                         graph: Optional[Graph] = None) -> QuantizedModel:
+    """Load integer weights + scales + calibration from an artifact
+    directory and rebuild the full plan."""
+    graph = graph or build_yolov8_graph(cfg)
+    max_a = read_max_a(os.path.join(out_dir, "results", "max_a.txt"))
+    wp = os.path.join(out_dir, "weights_pickle")
+    scales = load_scales(out_dir)
+
+    override = {}
+    for node in graph.convs():
+        w_q = load_gz_pickle(os.path.join(wp, f"{node.name}_conv.pickle"))
+        b_q = load_gz_pickle(os.path.join(wp, f"{node.name}_bias.pickle"))
+        override[node.name] = (w_q, b_q, scales[node.name])
+
+    dfl_path = os.path.join(wp, "dfl.pickle")
+    dfl_w = (np.asarray(load_gz_pickle(dfl_path), np.float64)
+             if os.path.exists(dfl_path)
+             else np.arange(16, dtype=np.float64).reshape(1, 16, 1, 1))
+    params = {"dfl": {"w": dfl_w}}
+    return build_quantized_model(graph, params, max_a, cfg,
+                                 weights_override=override)
+
+
+def dfl_weights_from_artifacts(out_dir: str) -> np.ndarray:
+    """Float DFL weights for the partial-quant decode."""
+    p = os.path.join(out_dir, "weights_pickle", "dfl.pickle")
+    return np.asarray(load_gz_pickle(p), np.float32)

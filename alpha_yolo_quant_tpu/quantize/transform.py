@@ -51,6 +51,9 @@ class ConvPlan:
     r2: Optional[np.ndarray] = None  # (1,C,1,1) int32: sigma*acc -> out scale
     s2: Optional[np.ndarray] = None
     out_scale: Optional[float] = None
+    # both requant shifts >= 16 -> the fast bigshift formulation applies
+    # (ops/intmath.requantize_i32_bigshift)
+    bigshift_ok: bool = False
 
 
 @dataclasses.dataclass
@@ -121,10 +124,16 @@ def _check_accumulator_bounds(node: ConvNode, w_q: np.ndarray,
 def build_quantized_model(graph: Graph, params: Dict,
                           max_a: Dict[str, float],
                           cfg: Optional[QuantConfig] = None,
-                          bias_warn=None) -> QuantizedModel:
+                          bias_warn=None,
+                          weights_override: Optional[Dict] = None
+                          ) -> QuantizedModel:
     """Derive every integer constant of the quantized network.
 
     params: fused float params; max_a: calibration dict (tap -> max-abs).
+    weights_override: conv name -> (w_q, b_q, acc_scale) to rebuild a plan
+    from STORED integer artifacts (the stage-8 load path) — every requant
+    constant derives from acc_scale + max_a, so the loaded plan is
+    bit-identical to the built one.
     """
     cfg = cfg or graph.cfg
     k = cfg.k
@@ -153,14 +162,23 @@ def build_quantized_model(graph: Graph, params: Dict,
     for idx, node in enumerate(graph.nodes):
         if isinstance(node, ConvNode):
             in_s = edge_scale[node.src]
-            p = params[node.key]
-            w_q, w_scales = quant_matrix(np.asarray(p["w"], np.float64), k)
-            bias_scale = (in_s * w_scales[:, 0])          # (C_out,)
-            b_q = quant_bias(np.asarray(p["b"], np.float64), bias_scale)
+            if weights_override and node.name in weights_override:
+                w_q, b_q, acc_scale = weights_override[node.name]
+                w_q = np.int64(w_q)
+                b_q = np.int64(b_q).reshape(-1)
+                acc_scale = np.asarray(acc_scale, np.float64).reshape(
+                    1, -1, 1, 1)
+                w_scales = (acc_scale.reshape(-1) / in_s)[:, None]
+            else:
+                p = params[node.key]
+                w_q, w_scales = quant_matrix(np.asarray(p["w"], np.float64),
+                                             k)
+                bias_scale = (in_s * w_scales[:, 0])      # (C_out,)
+                b_q = quant_bias(np.asarray(p["b"], np.float64), bias_scale)
+                acc_scale = bias_scale.reshape(1, -1, 1, 1)
             if np.abs(b_q).max() >= 2 ** (cfg.bias_bits - 1) and bias_warn:
                 bias_warn(node.name, int(np.abs(b_q).max()))
             _check_accumulator_bounds(node, w_q, b_q, edge_amax[node.src])
-            acc_scale = bias_scale.reshape(1, -1, 1, 1)
             plan = ConvPlan(node=node, w_q=w_q.astype(np.int32),
                             b_q=b_q.astype(np.int32), in_scale=float(in_s),
                             w_scales=w_scales[:, 0], acc_scale=acc_scale)
@@ -189,6 +207,8 @@ def build_quantized_model(graph: Graph, params: Dict,
                 plan.s1 = np.int64(s1).astype(np.int32)
                 plan.r2 = np.int64(r2).astype(np.int32)
                 plan.s2 = np.int64(s2).astype(np.int32)
+                plan.bigshift_ok = bool(plan.s1.min() >= 16 and
+                                        plan.s2.min() >= 16)
                 plan.out_scale = float(out_s)
                 edge_scale[node.dst] = float(out_s)
                 edge_amax[node.dst] = qmax

@@ -24,7 +24,9 @@ from alpha_yolo_quant_tpu.models.graph import (
     UpsampleNode,
 )
 from alpha_yolo_quant_tpu.models.head import dist2bbox, make_anchors
-from alpha_yolo_quant_tpu.ops.intmath import requantize_i32
+from alpha_yolo_quant_tpu.ops.intmath import (
+    requantize_i32, requantize_i32_bigshift, requantize_i32_small,
+)
 from alpha_yolo_quant_tpu.ops.nn import (
     conv2d_int_exact, maxpool2d, upsample_nearest,
 )
@@ -50,6 +52,8 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
             model.sig_lut)
     for name, c in model.convs.items():
         d = {"w": jnp.asarray(c.w_q, jnp.int32),
+             "w_hwio": jnp.asarray(c.w_q.transpose(2, 3, 1, 0), jnp.int32),
+             "w_i8": jnp.asarray(c.w_q, jnp.int8),
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
@@ -98,14 +102,26 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla") -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
-    accumulators for the six head convs) plus, with keep_env, every edge and
-    the pre-SiLU requantized accumulators under '<conv name>:sigdom'.
+    NCHW accumulators for the six head convs) plus, with keep_env, every
+    edge and the pre-SiLU requantized accumulators under
+    '<conv name>:sigdom'.
 
-    engine: 'xla' (pure-jnp ops) or 'pallas' (fused post-conv kernels,
-    bit-identical — see runtime/pallas_ops.py)."""
+    engine:
+      'xla'    bf16 nibble-split convs, pure-jnp ops, NCHW (debug/export)
+      's8'     native s8xs8->int32 MXU convs — one pass per layer, exact by
+               hardware integer accumulation; 9-bit concat inputs take a
+               clip+remainder second conv
+      'nhwc'   pure-jnp ops in the TPU's native NHWC layout
+      'pallas' fused post-conv kernels (bit-identical)
+    All engines produce bit-identical results."""
     cfg = model.cfg
     qmax = cfg.qmax
+    nhwc = engine == "nhwc" and not keep_env
     use_pallas = engine == "pallas" and not keep_env
+    use_s8 = engine == "s8" and not keep_env
+    if use_s8:
+        from alpha_yolo_quant_tpu.ops.nn import conv2d_s8_exact
+    cax = 3 if nhwc else 1
     if use_pallas:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
         from alpha_yolo_quant_tpu.runtime.pallas_ops import (
@@ -115,6 +131,15 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         sig = model.sig_lut
         sig_scale = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
         sig_qmax = float(2 ** (sig.bits - 1) - 1)
+    if nhwc:
+        from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
+
+        x_q = x_q.transpose(0, 2, 3, 1)
+
+    def cshape(t):
+        """Per-channel (1,C,1,1) constant in the active layout."""
+        return t.reshape(1, 1, 1, -1) if nhwc else t
+
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
 
     for idx, node in enumerate(model.graph.nodes):
@@ -128,28 +153,49 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                         hi, lo, c["b_c"], c["r1_c"], c["s1_c"], c["r2_c"],
                         c["s2_c"], qmax=qmax, sig_scale=sig_scale,
                         sig_qmax=sig_qmax,
-                        corrections=plan["pallas_sigma_corrections"])
+                        corrections=plan["pallas_sigma_corrections"],
+                        bigshift=model.convs[node.name].bigshift_ok)
                 else:
                     env[node.dst] = fused_postconv_plain(hi, lo, c["b_c"])
                 continue
-            acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
-                                   node.padding) + c["b"]
+            if use_s8:
+                wide = model.edge_amax_int[node.src] > 127
+                acc = conv2d_s8_exact(env[node.src], c["w_i8"],
+                                      node.stride, node.padding,
+                                      wide_input=wide) + c["b"]
+            elif nhwc:
+                hi, lo = conv2d_int_parts(env[node.src], c["w_hwio"],
+                                          node.stride, node.padding,
+                                          nhwc=True)
+                acc = (hi.astype(jnp.int32) * 16) + lo.astype(jnp.int32) \
+                    + cshape(c["b"])
+            else:
+                acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
+                                       node.padding) + c["b"]
             if node.silu:
-                dom = requantize_i32(acc, c["r1"], c["s1"], qmax)
+                req = (requantize_i32_bigshift
+                       if model.convs[node.name].bigshift_ok
+                       else requantize_i32)
+                dom = req(acc, cshape(c["r1"]), cshape(c["s1"]), qmax)
                 if keep_env:
                     env[f"{node.name}:sigdom"] = dom
                 sigma = plan["sig_lut"].apply(dom)
-                m = sigma * c["r2"]           # < 2^15, exact folding
-                env[node.dst] = requantize_i32(acc, m, c["s2"], qmax)
+                m = sigma * cshape(c["r2"])   # < 2^15, exact folding
+                out = req(acc, m, cshape(c["s2"]), qmax)
+                env[node.dst] = out.astype(jnp.int8) if use_s8 else out
             else:
                 env[node.dst] = acc
         elif isinstance(node, SplitNode):
-            h = env[node.src].shape[1] // 2
-            env[node.dst1] = env[node.src][:, :h]
-            env[node.dst2] = env[node.src][:, h:]
+            h = env[node.src].shape[cax] // 2
+            if nhwc:
+                env[node.dst1] = env[node.src][..., :h]
+                env[node.dst2] = env[node.src][..., h:]
+            else:
+                env[node.dst1] = env[node.src][:, :h]
+                env[node.dst2] = env[node.src][:, h:]
         elif isinstance(node, ResidualAddNode):
             r, s = plan["requants"][(idx, node.src)]
-            req = requantize_i32(env[node.src], r, s, qmax)
+            req = requantize_i32_small(env[node.src], r, s, qmax)
             if keep_env:
                 env[f"{node.label}:rescale"] = req
             out = req + env[node.base]
@@ -163,18 +209,25 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 t = env[e]
                 if (idx, e) in plan["requants"]:
                     r, s = plan["requants"][(idx, e)]
-                    t = requantize_i32(t, r, s, qmax)
+                    t = requantize_i32_small(t, r, s, qmax)
                     if keep_env:
                         env[f"{node.label}:{e}:requant"] = t
+                    if use_s8:
+                        t = t.astype(jnp.int8)
                 parts.append(t)
-            env[node.dst] = jnp.concatenate(parts, axis=1)
+            env[node.dst] = jnp.concatenate(parts, axis=cax)
         elif isinstance(node, MaxPoolNode):
             env[node.dst] = maxpool2d(env[node.src], node.kernel,
-                                      node.stride, node.padding)
+                                      node.stride, node.padding, nhwc=nhwc)
         elif isinstance(node, UpsampleNode):
-            env[node.dst] = upsample_nearest(env[node.src], node.factor)
+            env[node.dst] = upsample_nearest(env[node.src], node.factor,
+                                             nhwc=nhwc)
 
-    outs = {role: env[e] for role, e in model.graph.outputs.items()}
+    if nhwc:
+        outs = {role: env[e].transpose(0, 3, 1, 2)
+                for role, e in model.graph.outputs.items()}
+    else:
+        outs = {role: env[e] for role, e in model.graph.outputs.items()}
     if keep_env:
         outs["__env__"] = env
     return outs

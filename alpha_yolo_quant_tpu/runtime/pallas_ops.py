@@ -30,10 +30,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
-from alpha_yolo_quant_tpu.ops.intmath import requantize_i32
+from alpha_yolo_quant_tpu.ops.intmath import (
+    requantize_i32, requantize_i32_bigshift,
+)
 
-ROW_BLOCK = 8
-COL_BLOCK = 512
+ROW_BLOCK = 32
+COL_BLOCK = 1024
 
 
 def _interpret() -> bool:
@@ -43,10 +45,12 @@ def _interpret() -> bool:
 def _postconv_silu_kernel(hi_ref, lo_ref, bias_ref, r1_ref, s1_ref, r2_ref,
                           s2_ref, out_ref, *, qmax: int, sig_scale: float,
                           sig_qmax: float,
-                          corrections: Tuple[Tuple[int, int], ...]):
+                          corrections: Tuple[Tuple[int, int], ...],
+                          bigshift: bool):
+    req = requantize_i32_bigshift if bigshift else requantize_i32
     acc = (hi_ref[:].astype(jnp.int32) * 16) + lo_ref[:].astype(jnp.int32) \
         + bias_ref[:]
-    dom = requantize_i32(acc, r1_ref[:], s1_ref[:], qmax)
+    dom = req(acc, r1_ref[:], s1_ref[:], qmax)
     # validated arithmetic sigmoid (ops/lutfast.py contract)
     d = dom.astype(jnp.float32) / np.float32(sig_scale)
     sigma = jnp.clip(jnp.round(jax.nn.sigmoid(d) * np.float32(sig_qmax)),
@@ -54,7 +58,7 @@ def _postconv_silu_kernel(hi_ref, lo_ref, bias_ref, r1_ref, s1_ref, r2_ref,
     for i, v in corrections:
         sigma = jnp.where(dom == i, jnp.int32(v), sigma)
     m = sigma * r2_ref[:]
-    out_ref[:] = requantize_i32(acc, m, s2_ref[:], qmax).astype(jnp.int8)
+    out_ref[:] = req(acc, m, s2_ref[:], qmax).astype(jnp.int8)
 
 
 def _row_const(x, b):
@@ -64,17 +68,19 @@ def _row_const(x, b):
 
 
 @functools.partial(jax.jit, static_argnames=("qmax", "sig_scale",
-                                             "sig_qmax", "corrections"))
+                                             "sig_qmax", "corrections",
+                                             "bigshift"))
 def fused_postconv_silu(acc_hi, acc_lo, bias_c, r1_c, s1_c, r2_c, s2_c, *,
                         qmax: int, sig_scale: float, sig_qmax: float,
-                        corrections: Tuple[Tuple[int, int], ...] = ()):
+                        corrections: Tuple[Tuple[int, int], ...] = (),
+                        bigshift: bool = False):
     """acc_hi/acc_lo: f32 (B,C,H,W) bf16-split conv partials;
     bias_c/r*_c/s*_c: per-channel (C,) int32. Returns int8 (B,C,H,W)."""
     b, c, h, w = acc_hi.shape
     rows, cols = b * c, h * w
     kernel = functools.partial(_postconv_silu_kernel, qmax=qmax,
                                sig_scale=sig_scale, sig_qmax=sig_qmax,
-                               corrections=corrections)
+                               corrections=corrections, bigshift=bigshift)
     row_spec = pl.BlockSpec((ROW_BLOCK, 1), lambda i, j: (i, 0))
     data_spec = pl.BlockSpec((ROW_BLOCK, COL_BLOCK), lambda i, j: (i, j))
     out = pl.pallas_call(

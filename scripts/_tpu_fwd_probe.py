@@ -1,0 +1,40 @@
+import sys; sys.path.insert(0, "/root/repo")
+import numpy as np, time, jax, jax.numpy as jnp
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+from alpha_yolo_quant_tpu.models.params import init_params
+from alpha_yolo_quant_tpu.quantize.calibrate import collect_stats, reduce_stats
+from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+from alpha_yolo_quant_tpu.runtime.interpreter import quantize_input, int_forward, device_plan, decode_full_quant, build_int_pipeline
+
+def bench(name, fn, *args, iters=10):
+    out = fn(*args); jax.block_until_ready(out)
+    t=time.time()
+    for _ in range(iters): out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{name}: {(time.time()-t)/iters*1000:.2f} ms", flush=True)
+    return out
+
+B=16
+cfg = QuantConfig(k=8, full_quant=True, image_size=640)
+g = build_yolov8_graph(cfg); p = init_params(g, seed=0)
+calib = np.random.default_rng(1).uniform(0,1,(1,3,640,640)).astype(np.float32)
+max_a = reduce_stats(collect_stats(g, p, [calib]), "max")
+qm = build_quantized_model(g, p, max_a, cfg)
+print("bigshift_ok:", sum(c.bigshift_ok for c in qm.convs.values()), "/", sum(1 for c in qm.convs.values() if c.node.silu), flush=True)
+plan = device_plan(qm, pallas=True)
+x = jnp.asarray(np.random.default_rng(2).uniform(0,1,(B,3,640,640)).astype(np.float32))
+xq = jax.jit(lambda a: quantize_input(a,8))(x)
+o1 = bench("int_forward xla   ", jax.jit(lambda a: int_forward(qm, plan, a, engine="xla")), xq)
+o2 = bench("int_forward pallas", jax.jit(lambda a: int_forward(qm, plan, a, engine="pallas")), xq)
+for r in qm.graph.outputs:
+    assert np.array_equal(np.asarray(o1[r],dtype=np.int64), np.asarray(o2[r],dtype=np.int64)), r
+print("parity ok", flush=True)
+bench("decode_full", jax.jit(lambda o: decode_full_quant(qm, plan, o)), o2)
+fn, _ = build_int_pipeline(qm, engine="pallas"); e2e = jax.jit(fn)
+bench("e2e pallas b16", e2e, x)
+fnx, _ = build_int_pipeline(qm, engine="xla"); e2ex = jax.jit(fnx)
+bench("e2e xla b16   ", e2ex, x)
+x64 = jnp.asarray(np.random.default_rng(3).uniform(0,1,(64,3,640,640)).astype(np.float32))
+bench("e2e pallas b64", e2e, x64, iters=5)
+bench("e2e xla b64   ", e2ex, x64, iters=5)

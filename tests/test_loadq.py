@@ -1,0 +1,59 @@
+"""Artifact round-trip: export -> model_from_artifacts must reproduce the
+plan bit-for-bit (the stage-7/8 hand-off without the mtime hack)."""
+
+import numpy as np
+
+import conftest  # noqa: F401
+
+import jax.numpy as jnp
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.export.artifacts import export_all
+from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+from alpha_yolo_quant_tpu.models.params import init_params
+from alpha_yolo_quant_tpu.quantize.calibrate import collect_stats, reduce_stats
+from alpha_yolo_quant_tpu.quantize.loadq import model_from_artifacts
+from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+from alpha_yolo_quant_tpu.runtime.golden import golden_forward
+from alpha_yolo_quant_tpu.runtime.interpreter import (
+    device_plan, int_forward, quantize_input,
+)
+
+RNG = np.random.default_rng(13)
+
+
+def test_artifact_roundtrip(tmp_path):
+    cfg = QuantConfig(model="yolov8n", k=8, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=4)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    built = build_quantized_model(graph, params, max_a, cfg)
+
+    x = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    env = golden_forward(built, x)
+    out = str(tmp_path / "8_nano")
+    export_all(built, env, params, out, warn=lambda *a: None)
+
+    loaded = model_from_artifacts(out, cfg)
+    for name, c in built.convs.items():
+        lc = loaded.convs[name]
+        np.testing.assert_array_equal(lc.w_q, c.w_q, err_msg=name)
+        np.testing.assert_array_equal(lc.b_q, c.b_q, err_msg=name)
+        np.testing.assert_allclose(lc.acc_scale, c.acc_scale, rtol=0,
+                                   atol=0, err_msg=name)
+        if c.node.silu:
+            for f in ("r1", "s1", "r2", "s2"):
+                np.testing.assert_array_equal(getattr(lc, f),
+                                              getattr(c, f), err_msg=name)
+    for key, rq in built.requants.items():
+        lrq = loaded.requants[key]
+        assert (lrq.rescale, lrq.shift) == (rq.rescale, rq.shift)
+
+    # loaded model runs identically
+    xq = quantize_input(jnp.asarray(x), 8)
+    want = int_forward(built, device_plan(built), xq)
+    got = int_forward(loaded, device_plan(loaded), xq)
+    for role in graph.outputs:
+        np.testing.assert_array_equal(np.asarray(got[role]),
+                                      np.asarray(want[role]))
