@@ -43,13 +43,35 @@ def bit_converter(final_file_name: str, k: int, value, element: str,
     return f"{prefix}'b{zeroes}{bits}"
 
 
+def _native():
+    from alpha_yolo_quant_tpu.native import fastwriter
+
+    return fastwriter()
+
+
 def save_txt_weight(conv: np.ndarray, bias: np.ndarray, file_name: str,
-                    type_: str, k: int, dir_names: str, warn=print) -> str:
+                    type_: str, k: int, dir_names: str, warn=print,
+                    use_native: bool = True) -> str:
     """Per-layer weight + bias Verilog text
     (reference utils/save_weights.py:90-109). ``bias`` is the (1,C,1,1)
     layout the reference writes."""
     final = f"{file_name}_type_{type_}_bit_{k}_shape_{tuple(conv.shape)}"
     path = os.path.join(dir_names, "quant_weights_yolov8n", f"{final}.txt")
+    lib = _native() if use_native else None
+    if lib is not None:
+        import ctypes
+
+        wq = np.ascontiguousarray(conv, np.int64)
+        bq = np.ascontiguousarray(bias, np.int64).reshape(-1)
+        n_over = lib.write_txt_weights(
+            path.encode(), wq.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)),
+            *map(int, wq.shape),
+            bq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bq.size, k, 18)
+        if n_over > 0:
+            warn(f"{final}: {n_over} values over bit budget")
+        return path
     with open(path, "w") as f:
         i = 0
         for b in range(conv.shape[0]):
@@ -85,11 +107,23 @@ def _act_file(file_name: str, type_: str, k: int, shape, silu: bool) -> str:
 
 def save_txt_activations(arr: np.ndarray, file_name: str, dir_names: str,
                          type_: str, k: int, silu: bool = False,
-                         warn=print) -> str:
+                         warn=print, use_native: bool = True) -> str:
     """Golden activation vectors for the RTL testbench
     (reference utils/save_weights.py:112-126)."""
     final = _act_file(file_name, type_, k, arr.shape, silu)
     path = os.path.join(dir_names, f"{final}.txt")
+    lib = _native() if use_native else None
+    if lib is not None:
+        import ctypes
+
+        a = np.ascontiguousarray(arr, np.int64)
+        n_over = lib.write_txt_activations(
+            path.encode(),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            *map(int, a.shape), k)
+        if n_over > 0:
+            warn(f"{final}: {n_over} values over bit budget")
+        return path
     with open(path, "w") as f:
         i = 0
         for b in range(arr.shape[0]):

@@ -87,7 +87,7 @@ def conv2d_int_parts(x_int, w_int, stride: int = 1, padding: int = 0,
 
 
 def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
-                    wide_input: bool = False):
+                    wide_input: bool = False, nhwc: bool = False):
     """Exact integer conv on the native s8 MXU path: int8 x int8 -> int32
     accumulators (always exact — hardware integer accumulation).
 
@@ -95,7 +95,7 @@ def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
     |x| <= 2*qmax). Split x = clip(x,+-127) + remainder — both int8 — and
     run two convs (reference concats carry at most one extra bit).
     """
-    dn = ("NCHW", "OIHW", "NCHW")
+    dn = ("NHWC", "HWIO", "NHWC") if nhwc else ("NCHW", "OIHW", "NCHW")
 
     def c(p):
         return lax.conv_general_dilated(
@@ -109,6 +109,48 @@ def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
         x2 = x32 - x1
         return c(x1.astype(jnp.int8)) + c(x2.astype(jnp.int8))
     return c(x_int.astype(jnp.int8))
+
+
+def space_to_depth2(x):
+    """NCHW (B,C,2N,2M) -> (B,4C,N,M); channel order (c, ry, rx)."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * 4, h // 2, w // 2)
+
+
+def s2d_weights(w: "np.ndarray") -> "np.ndarray":
+    """EXACT rewrite of a 3x3 stride-2 pad-1 conv as a 2x2 stride-1 conv
+    over the space-to-depth(2) input.
+
+    Output pixel (i,j) of the original conv reads rows 2i-1..2i+1; in block
+    coordinates those live in blocks {i-1, i} (a 2x2 block window with top/
+    left zero-padding of one block). Tap dy maps to block offset
+    by=(dy+2)//2 and in-block row ry=(dy+2)%2; dy=-2 taps are zero. The
+    transformed conv runs at 1/4 the spatial positions with 4x channels —
+    the MXU-utilization fix for the small-channel stem (C_in=3 on 128
+    lanes is ~2% efficient).
+    """
+    import numpy as np
+
+    o, c, kh, kw = w.shape
+    assert (kh, kw) == (3, 3)
+    out = np.zeros((o, c, 2, 2, 2, 2), w.dtype)  # (O,c,ry,rx,by,bx)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            by, ry = (dy + 2) // 2, (dy + 2) % 2
+            bx, rx = (dx + 2) // 2, (dx + 2) % 2
+            out[:, :, ry, rx, by, bx] = w[:, :, dy + 1, dx + 1]
+    return out.reshape(o, c * 4, 2, 2)
+
+
+def conv2d_s8_s2d(x_int, w_s2d_i8):
+    """The s2d-transformed conv: s8 conv, kernel 2x2, stride 1, padding
+    (1,0) on each spatial dim. Input must be int8-range."""
+    y = space_to_depth2(x_int.astype(jnp.int8))
+    return lax.conv_general_dilated(
+        y, w_s2d_i8, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.int32)
 
 
 def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):

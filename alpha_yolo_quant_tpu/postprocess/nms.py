@@ -137,11 +137,18 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
     return box[idx], conf[idx], cls[idx], valid[idx]
 
 
-def non_max_suppression(preds, params: NmsParams = NmsParams()):
+def non_max_suppression(preds, params: NmsParams = NmsParams(),
+                        score_map=None):
     """Batched NMS.
 
     preds: (B, 4+nc, N) in xywh + class scores (float; for q_NMS these are
     integer-valued floats in anchor/sigmoid scale units).
+
+    score_map: optional MONOTONE map applied to the kept rows' confidences
+    before descaling (the serving path defers the 16-bit sigmoid LUT here —
+    ranking and thresholding commute with a monotone map, so the result is
+    unchanged up to the ordering of exact score ties, which the reference's
+    unstable argsort does not define either).
 
     Returns (det, n_det): det is (B, max_det, 6) rows [x1,y1,x2,y2,conf,cls]
     (descaled for q_NMS), n_det (B,) the number of valid rows. Padding rows
@@ -159,9 +166,12 @@ def non_max_suppression(preds, params: NmsParams = NmsParams()):
         # compact kept rows to the front, at most max_det of them
         order = jnp.argsort(~keep, stable=True)   # kept first, score order
         keep_sorted = keep[order]
+        conf_out = conf[order]
+        if score_map is not None:
+            conf_out = score_map(conf_out)
         rows = jnp.concatenate(
             (boxes[order] / p.box_scale,
-             (conf[order] / p.score_scale)[:, None],
+             (conf_out / p.score_scale)[:, None],
              cls[order][:, None]), axis=1)
         rows = jnp.where(keep_sorted[:, None], rows, 0.0)
         n = jnp.sum(keep_sorted.astype(jnp.int32))

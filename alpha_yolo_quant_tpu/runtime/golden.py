@@ -120,3 +120,94 @@ def golden_forward(model: QuantizedModel, x: np.ndarray,
     for role, e in model.graph.outputs.items():
         env[role] = env[e]
     return env
+
+
+def _np_make_anchors(shapes, strides=(8, 16, 32), offset=0.5):
+    pts, strs = [], []
+    for (h, w), s in zip(shapes, strides):
+        sx = np.arange(w, dtype=np.float64) + offset
+        sy = np.arange(h, dtype=np.float64) + offset
+        gy, gx = np.meshgrid(sy, sx, indexing="ij")
+        pts.append(np.stack((gx.reshape(-1), gy.reshape(-1)), 0))
+        strs.append(np.full((1, h * w), s, np.float64))
+    return np.concatenate(pts, 1), np.concatenate(strs, 1)
+
+
+def _np_dist2bbox(distance, anchors):
+    lt, rb = np.split(distance, 2, axis=1)
+    x1y1 = anchors - lt
+    x2y2 = anchors + rb
+    return np.concatenate(((x1y1 + x2y2) / 2, x2y2 - x1y1), 1)
+
+
+def decode_partial_np(model: QuantizedModel, env: Dict) -> np.ndarray:
+    """Partial-quant float64 head (the stage-6 tail, reference
+    stage_6.py:598-634): dequantize the six accumulators, float softmax +
+    DFL + sigmoid. Returns (B, 84, N)."""
+    from alpha_yolo_quant_tpu.runtime.interpreter import head_conv_name
+
+    deq = {}
+    shapes = []
+    for role in model.graph.outputs:
+        acc = np.float64(env[role])
+        deq[role] = acc / model.convs[head_conv_name(role)].acc_scale
+    boxes = [deq[f"{l}_box"] for l in ("p3", "p4", "p5")]
+    clss = [deq[f"{l}_cls"] for l in ("p3", "p4", "p5")]
+    shapes = [(t.shape[2], t.shape[3]) for t in boxes]
+    anchors, strides = _np_make_anchors(shapes)
+    b = boxes[0].shape[0]
+    box = np.concatenate([t.reshape(b, 64, -1) for t in boxes], 2)
+    n = box.shape[2]
+    bins = box.reshape(b, 4, 16, n)
+    e = np.exp(bins - bins.max(axis=2, keepdims=True))
+    probs = e / e.sum(axis=2, keepdims=True)
+    dfl_w = np.arange(16, dtype=np.float64)
+    dfl = np.einsum("bcrn,r->bcn", probs, dfl_w)
+    dbox = _np_dist2bbox(dfl, anchors[None]) * strides
+    cls = np.concatenate([t.reshape(b, 80, -1) for t in clss], 2)
+    cls = 1 / (1 + np.exp(-cls))
+    return np.concatenate((dbox, cls), 1)
+
+
+def decode_full_quant_np(model: QuantizedModel, env: Dict) -> np.ndarray:
+    """Fully-quantized head in the golden int64/float64 semantics
+    (reference stage_6_full_quant tail; see SURVEY.md §2.3.7-8). Returns
+    (B, 84, N) with boxes in anchor-scale units and 16-bit sigmoid class
+    units — the q_NMS input domain."""
+    from alpha_yolo_quant_tpu.runtime.interpreter import head_conv_name
+
+    h = model.head
+    boxes, clss, shapes = [], [], []
+    for level in ("p3", "p4", "p5"):
+        bacc = np.int64(env[f"{level}_box"])
+        cacc = np.int64(env[f"{level}_cls"])
+        shapes.append((bacc.shape[2], bacc.shape[3]))
+        up = model.convs[head_conv_name(f"{level}_box")]
+        dn = model.convs[head_conv_name(f"{level}_cls")]
+        bq, _, _ = requantize_np(bacc, up.acc_scale, h.box_scale, 8,
+                                 model.cfg.koeff_bits)
+        cq, _, _ = requantize_np(cacc, dn.acc_scale, h.cls_scale, 16,
+                                 model.cfg.koeff_bits)
+        b = bq.shape[0]
+        boxes.append(bq.reshape(b, 64, -1))
+        clss.append(cq.reshape(b, 80, -1))
+    box = np.concatenate(boxes, 2)
+    cls = np.concatenate(clss, 2)
+    b, _, n = box.shape
+
+    bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)
+    y = bins - bins.max(axis=1, keepdims=True)
+    e = h.exp_lut.apply_np(y)
+    # reference: p = int64(y/sum * 127) in float64 (truncation toward 0;
+    # e >= 0 so it equals the integer floor division)
+    ssum = np.maximum(e.sum(axis=1, keepdims=True), 1)
+    p = np.int64(e / ssum * 127)
+
+    acc = np.einsum("brcn,r->bcn", p, np.int64(h.dfl_w_q).reshape(16))
+    dfl_q, _, _ = requantize_np(acc, np.float64(h.dfl_acc_scale),
+                                h.anchor_scale, 16, model.cfg.koeff_bits)
+    anchors, strides = _np_make_anchors(shapes)
+    anchors_q = np.round(anchors * h.anchor_scale)
+    dbox = _np_dist2bbox(np.float64(dfl_q), anchors_q[None]) * strides
+    cls_sig = h.cls_sigmoid_lut.apply_np(cls)
+    return np.concatenate((dbox, np.float64(cls_sig)), 1)

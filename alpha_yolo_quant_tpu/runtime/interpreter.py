@@ -13,6 +13,7 @@ multiplication is associative and m < 2^15 (see ops/intmath.py).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -54,6 +55,8 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
         d = {"w": jnp.asarray(c.w_q, jnp.int32),
              "w_hwio": jnp.asarray(c.w_q.transpose(2, 3, 1, 0), jnp.int32),
              "w_i8": jnp.asarray(c.w_q, jnp.int8),
+             "w_hwio_i8": jnp.asarray(c.w_q.transpose(2, 3, 1, 0),
+                                      jnp.int8),
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
@@ -116,9 +119,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     All engines produce bit-identical results."""
     cfg = model.cfg
     qmax = cfg.qmax
-    nhwc = engine == "nhwc" and not keep_env
+    nhwc = engine in ("nhwc", "s8_nhwc") and not keep_env
     use_pallas = engine == "pallas" and not keep_env
-    use_s8 = engine == "s8" and not keep_env
+    use_s8 = engine in ("s8", "s8_nhwc") and not keep_env
     if use_s8:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_s8_exact
     cax = 3 if nhwc else 1
@@ -160,9 +163,11 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 continue
             if use_s8:
                 wide = model.edge_amax_int[node.src] > 127
-                acc = conv2d_s8_exact(env[node.src], c["w_i8"],
-                                      node.stride, node.padding,
-                                      wide_input=wide) + c["b"]
+                acc = conv2d_s8_exact(
+                    env[node.src],
+                    c["w_hwio_i8"] if nhwc else c["w_i8"],
+                    node.stride, node.padding, wide_input=wide,
+                    nhwc=nhwc) + cshape(c["b"])
             elif nhwc:
                 hi, lo = conv2d_int_parts(env[node.src], c["w_hwio"],
                                           node.stride, node.padding,
@@ -248,13 +253,18 @@ def dequantize_heads(model: QuantizedModel, outs: Dict) -> Dict:
     return deq
 
 
-def decode_full_quant(model: QuantizedModel, plan: Dict,
-                      outs: Dict) -> jnp.ndarray:
+def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
+                      sigmoid_cls: bool = True) -> jnp.ndarray:
     """Fully-quantized head: 8-bit box requant, LUT-exponent softmax,
     quantized DFL, quantized anchors, 16-bit LUT sigmoid classes
     (reference stage_6_full_quant tail / stage_8_torch_full_quant.py:
     1195-1260). Output (B, 84, N) in anchor-scale box units and 16-bit
-    sigmoid class units, ready for q_NMS."""
+    sigmoid class units, ready for q_NMS.
+
+    sigmoid_cls=False defers the 16-bit sigmoid: class rows stay in the
+    requantized-int domain. The sigmoid is monotone, so ranking/threshold
+    commute with it — the serving path applies it only to the <=max_det
+    kept rows (the 10M-element LUT pass was ~35% of decode)."""
     h = model.head
     hp = plan["head"]
     boxes, clss, shapes = [], [], []
@@ -302,8 +312,21 @@ def decode_full_quant(model: QuantizedModel, plan: Dict,
     anchors_q = jnp.round(anchors * h.anchor_scale)
     dbox = dist2bbox(dfl_q.astype(jnp.float32), anchors_q[None]) * strides
 
-    cls_sig = hp["cls_sig_lut"].apply(cls)
-    return jnp.concatenate((dbox, cls_sig.astype(jnp.float32)), 1)
+    if sigmoid_cls:
+        cls = hp["cls_sig_lut"].apply(cls)
+    return jnp.concatenate((dbox, cls.astype(jnp.float32)), 1)
+
+
+def cls_int_conf_threshold(model: QuantizedModel,
+                           conf_thres_int: int = 8192) -> float:
+    """Smallest requantized-int class score whose sigmoid exceeds the
+    integer confidence threshold, minus 0.5 — the pre-sigmoid equivalent
+    of `conf > 8192` (sigmoid is monotone)."""
+    lut = model.head.cls_sigmoid_lut
+    above = np.nonzero(lut.values > conf_thres_int)[0]
+    if len(above) == 0:
+        return float(lut.hi) + 0.5
+    return float(above[0] + lut.lo) - 0.5
 
 
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
@@ -323,9 +346,16 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
     plan = device_plan(model, pallas=(engine == "pallas"))
     k = model.cfg.k
     full = model.cfg.full_quant
+    score_map = None
     if nms_params is None:
-        nms_params = (q_nms_params(model.head.anchor_scale) if full
-                      else NmsParams(conf_thres=0.25))
+        if full:
+            # rank raw int class scores; sigmoid only the kept rows
+            nms_params = dataclasses.replace(
+                q_nms_params(model.head.anchor_scale),
+                conf_thres=cls_int_conf_threshold(model))
+            score_map = plan["head"]["cls_sig_lut"].apply
+        else:
+            nms_params = NmsParams(conf_thres=0.25)
     if not full:
         if dfl_w_float is None:
             raise ValueError("partial-quant pipeline needs dfl_w_float")
@@ -335,11 +365,13 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         x_q = quantize_input(images, k)
         outs = int_forward(model, plan, x_q, engine=engine)
         if full:
-            preds = decode_full_quant(model, plan, outs)
+            preds = decode_full_quant(model, plan, outs,
+                                      sigmoid_cls=score_map is None)
         else:
             preds = decode_float(dequantize_heads(model, outs), dfl_w)
         if with_nms:
-            return non_max_suppression(preds, nms_params)
+            return non_max_suppression(preds, nms_params,
+                                       score_map=score_map)
         return preds
 
     return fn, plan

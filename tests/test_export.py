@@ -169,3 +169,44 @@ def test_lut_table_file_parity(tmp_path, monkeypatch):
     want = (tmp_path / "utils" / "sigmoid_table_8_bit.txt").read_bytes()
     got = (tmp_path / "mine.txt").read_bytes()
     assert got == want
+
+
+def test_native_writer_byte_equal(tmp_path):
+    """The C++ fastwriter must produce byte-identical files to the Python
+    writers (which are themselves oracle-verified vs the reference)."""
+    from alpha_yolo_quant_tpu.native import fastwriter
+
+    if fastwriter() is None:
+        pytest.skip("no native toolchain")
+    make_dirs(str(tmp_path / "a"))
+    make_dirs(str(tmp_path / "b"))
+    conv = RNG.integers(-127, 128, (5, 4, 3, 3))
+    bias = RNG.integers(-200000, 200000, (1, 5, 1, 1))
+    nul = lambda *a: None
+    verilog.save_txt_weight(conv, bias, "L", "Conv2D", 8, str(tmp_path / "a"),
+                            warn=nul, use_native=True)
+    verilog.save_txt_weight(conv, bias, "L", "Conv2D", 8, str(tmp_path / "b"),
+                            warn=nul, use_native=False)
+    fn = f"L_type_Conv2D_bit_8_shape_{conv.shape}.txt"
+    assert (tmp_path / "a" / "quant_weights_yolov8n" / fn).read_bytes() == \
+        (tmp_path / "b" / "quant_weights_yolov8n" / fn).read_bytes()
+
+    arr = RNG.integers(-127, 128, (1, 3, 7, 9))
+    verilog.save_txt_activations(arr, "A", str(tmp_path / "a"), "act_conv",
+                                 8, warn=nul, use_native=True)
+    verilog.save_txt_activations(arr, "A", str(tmp_path / "b"), "act_conv",
+                                 8, warn=nul, use_native=False)
+    fn = f"A_type_act_conv_bit_8_shape_{arr.shape}.txt"
+    sub = "quant_activations/conv2d"
+    assert (tmp_path / "a" / sub / fn).read_bytes() == \
+        (tmp_path / "b" / sub / fn).read_bytes()
+
+    # negative zero-edge + k=4 widths
+    arr4 = np.array([[[[-7, 0, 7, -1]]]])
+    verilog.save_txt_activations(arr4, "Z", str(tmp_path / "a"), "act_conv",
+                                 4, warn=nul, use_native=True)
+    verilog.save_txt_activations(arr4, "Z", str(tmp_path / "b"), "act_conv",
+                                 4, warn=nul, use_native=False)
+    fn = f"Z_type_act_conv_bit_4_shape_{arr4.shape}.txt"
+    assert (tmp_path / "a" / sub / fn).read_bytes() == \
+        (tmp_path / "b" / sub / fn).read_bytes()

@@ -81,3 +81,16 @@ def test_s8_engine_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(got[role]).astype(np.int64),
             np.asarray(want[role]).astype(np.int64), err_msg=role)
+
+
+def test_s8_nhwc_engine_bit_exact():
+    cfg, model = _setup()
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    plan = device_plan(model)
+    want = int_forward(model, plan, xq, engine="xla")
+    got = int_forward(model, plan, xq, engine="s8_nhwc")
+    for role in model.graph.outputs:
+        np.testing.assert_array_equal(
+            np.asarray(got[role]).astype(np.int64),
+            np.asarray(want[role]).astype(np.int64), err_msg=role)

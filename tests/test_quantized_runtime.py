@@ -149,3 +149,43 @@ def test_quantize_input_per_image_flag():
     per_img = np.asarray(quantize_input(x, 8, per_image_amax=True))
     assert np.abs(per_img).max() == 127          # stretched to full range
     assert np.abs(pinned).max() < 127            # a=1 pinned
+
+
+def test_deferred_cls_sigmoid_equivalent():
+    """The serving path defers the 16-bit sigmoid past NMS (monotone map);
+    detections must match the eager path."""
+    import dataclasses as dc
+
+    from alpha_yolo_quant_tpu.postprocess.nms import (
+        non_max_suppression, q_nms_params,
+    )
+    from alpha_yolo_quant_tpu.runtime.interpreter import (
+        cls_int_conf_threshold,
+    )
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    plan = device_plan(model)
+    x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    outs = int_forward(model, plan, quantize_input(jnp.asarray(x), 8))
+
+    from alpha_yolo_quant_tpu.runtime.interpreter import decode_full_quant
+
+    eager = decode_full_quant(model, plan, outs, sigmoid_cls=True)
+    det_e, n_e = non_max_suppression(eager,
+                                     q_nms_params(model.head.anchor_scale))
+
+    lazy = decode_full_quant(model, plan, outs, sigmoid_cls=False)
+    p = dc.replace(q_nms_params(model.head.anchor_scale),
+                   conf_thres=cls_int_conf_threshold(model))
+    det_l, n_l = non_max_suppression(
+        lazy, p, score_map=plan["head"]["cls_sig_lut"].apply)
+
+    np.testing.assert_array_equal(np.asarray(n_e), np.asarray(n_l))
+    for b in range(2):
+        n = int(n_e[b])
+        a = np.asarray(det_e[b])[:n]
+        c = np.asarray(det_l[b])[:n]
+        # same detection set (ordering of exact score ties may differ)
+        np.testing.assert_allclose(np.sort(a, axis=0), np.sort(c, axis=0),
+                                   rtol=1e-6)
