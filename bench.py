@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 2000.0
-BATCH = 64
+BATCH = 128
 WARMUP = 3
 ITERS = 10
 
