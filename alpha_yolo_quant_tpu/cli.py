@@ -21,7 +21,7 @@ Run as: python -m alpha_yolo_quant_tpu.cli <command> [flags]
 from __future__ import annotations
 
 import argparse
-import json
+
 import os
 import sys
 
@@ -296,8 +296,9 @@ def main(argv=None):
         if name == "eval-int8":
             sp.add_argument("--max-a", required=True)
             sp.add_argument("--full-quant", action="store_true")
-            sp.add_argument("--engine", default="xla",
-                            choices=["xla", "pallas"])
+            sp.add_argument("--engine", default="s8",
+                            choices=["xla", "s8", "s8_nhwc", "nhwc",
+                                     "pallas", "fused"])
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("memsim", help="SRAM allocation simulation")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import numpy as np
@@ -21,7 +21,6 @@ from alpha_yolo_quant_tpu.eval.metrics import map50_95
 from alpha_yolo_quant_tpu.eval.records import (
     annotation_rows, detection_rows, to_metric_arrays,
 )
-from alpha_yolo_quant_tpu.postprocess.nms import scale_boxes
 
 
 @dataclasses.dataclass

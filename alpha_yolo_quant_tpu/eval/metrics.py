@@ -10,7 +10,7 @@ all-point interpolation, averaged over classes present in the annotations.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ requant is labeled '_REQUANT' while C2F_15/18/21 use '_RESCALE'
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

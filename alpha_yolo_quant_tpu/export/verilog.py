@@ -14,7 +14,6 @@ Format contract (reference quantisation/utils/save_weights.py:45-155):
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

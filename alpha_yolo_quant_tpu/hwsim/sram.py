@@ -24,7 +24,6 @@ final_memory.txt with merged r/s/w lists + MAX_MEMORY, and peak occupancy.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Dict, List, Optional, Tuple
 
 from alpha_yolo_quant_tpu.models.graph import (

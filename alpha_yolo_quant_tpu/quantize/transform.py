@@ -20,7 +20,7 @@ Scale algebra (see SURVEY.md §2.3):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

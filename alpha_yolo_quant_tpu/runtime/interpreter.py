@@ -14,9 +14,9 @@ multiplication is associative and m < 2^15 (see ops/intmath.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +57,8 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
              "w_i8": jnp.asarray(c.w_q, jnp.int8),
              "w_hwio_i8": jnp.asarray(c.w_q.transpose(2, 3, 1, 0),
                                       jnp.int8),
+             "w_io_i8": jnp.asarray(c.w_q[:, :, 0, 0].T, jnp.int8)
+             if c.node.kernel == 1 else None,
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
@@ -119,11 +121,18 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     All engines produce bit-identical results."""
     cfg = model.cfg
     qmax = cfg.qmax
-    nhwc = engine in ("nhwc", "s8_nhwc") and not keep_env
+    nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
     use_pallas = engine == "pallas" and not keep_env
-    use_s8 = engine in ("s8", "s8_nhwc") and not keep_env
+    use_s8 = engine in ("s8", "s8_nhwc", "fused") and not keep_env
+    fused1x1 = engine == "fused" and not keep_env
     if use_s8:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_s8_exact
+    if fused1x1 or use_pallas:
+        from alpha_yolo_quant_tpu.runtime.pallas_ops import fused_conv1x1
+
+        sig = model.sig_lut
+        sig_scale_f = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
+        sig_qmax_f = float(2 ** (sig.bits - 1) - 1)
     cax = 3 if nhwc else 1
     if use_pallas:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
@@ -163,6 +172,21 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 continue
             if use_s8:
                 wide = model.edge_amax_int[node.src] > 127
+                if fused1x1 and node.kernel == 1 and not wide:
+                    if node.silu:
+                        env[node.dst] = fused_conv1x1(
+                            env[node.src].astype(jnp.int8), c["w_io_i8"],
+                            c["b_c"], c["r1_c"], c["s1_c"], c["r2_c"],
+                            c["s2_c"], qmax=qmax, sig_scale=sig_scale_f,
+                            sig_qmax=sig_qmax_f,
+                            corrections=plan["pallas_sigma_corrections"],
+                            bigshift=model.convs[node.name].bigshift_ok,
+                            silu=True)
+                    else:
+                        env[node.dst] = fused_conv1x1(
+                            env[node.src].astype(jnp.int8), c["w_io_i8"],
+                            c["b_c"], silu=False)
+                    continue
                 acc = conv2d_s8_exact(
                     env[node.src],
                     c["w_hwio_i8"] if nhwc else c["w_i8"],
@@ -343,7 +367,7 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         NmsParams, non_max_suppression, q_nms_params,
     )
 
-    plan = device_plan(model, pallas=(engine == "pallas"))
+    plan = device_plan(model, pallas=engine in ("pallas", "fused"))
     k = model.cfg.k
     full = model.cfg.full_quant
     score_map = None

@@ -127,6 +127,83 @@ def pallas_sigma_corrections(lut) -> Tuple[Tuple[int, int], ...]:
     return tuple((int(i + lut.lo), int(lut.values[i])) for i in bad)
 
 
+MM_TILE = 512
+
+
+def _conv1x1_silu_kernel(x_ref, w_ref, bias_ref, r1_ref, s1_ref, r2_ref,
+                         s2_ref, out_ref, *, qmax: int, sig_scale: float,
+                         sig_qmax: float,
+                         corrections: Tuple[Tuple[int, int], ...],
+                         bigshift: bool):
+    """Fused 1x1 conv: s8 matmul on the MXU + the whole integer epilogue in
+    registers. x: (TILE_M, Cin) int8; w: (Cin, Cout) int8; per-output-
+    channel constants as (1, Cout) rows."""
+    req = requantize_i32_bigshift if bigshift else requantize_i32
+    acc = jnp.dot(x_ref[:], w_ref[:],
+                  preferred_element_type=jnp.int32) + bias_ref[:]
+    dom = req(acc, r1_ref[:], s1_ref[:], qmax)
+    d = dom.astype(jnp.float32) / np.float32(sig_scale)
+    sigma = jnp.clip(jnp.round(jax.nn.sigmoid(d) * np.float32(sig_qmax)),
+                     -sig_qmax, sig_qmax).astype(jnp.int32)
+    for i, v in corrections:
+        sigma = jnp.where(dom == i, jnp.int32(v), sigma)
+    out_ref[:] = req(acc, sigma * r2_ref[:], s2_ref[:], qmax).astype(
+        jnp.int8)
+
+
+def _conv1x1_plain_kernel(x_ref, w_ref, bias_ref, out_ref):
+    out_ref[:] = jnp.dot(x_ref[:], w_ref[:],
+                         preferred_element_type=jnp.int32) + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("qmax", "sig_scale",
+                                             "sig_qmax", "corrections",
+                                             "bigshift", "silu"))
+def fused_conv1x1(x_nhwc_i8, w_io_i8, bias_c, r1_c=None, s1_c=None,
+                  r2_c=None, s2_c=None, *, qmax: int = 127,
+                  sig_scale: float = 1.0, sig_qmax: float = 127.0,
+                  corrections: Tuple[Tuple[int, int], ...] = (),
+                  bigshift: bool = False, silu: bool = True):
+    """1x1 conv + integer epilogue, one HBM round trip.
+
+    x_nhwc_i8: (B,H,W,Cin) int8; w_io_i8: (Cin,Cout) int8. Returns NHWC
+    int8 (silu) or int32 raw accumulators (plain head convs)."""
+    b, h, w, cin = x_nhwc_i8.shape
+    cout = w_io_i8.shape[1]
+    m = b * h * w
+    x2 = x_nhwc_i8.reshape(m, cin)
+
+    def col(t):
+        return t.reshape(1, -1).astype(jnp.int32)
+
+    x_spec = pl.BlockSpec((MM_TILE, cin), lambda i: (i, 0))
+    w_spec = pl.BlockSpec((cin, cout), lambda i: (0, 0))
+    c_spec = pl.BlockSpec((1, cout), lambda i: (0, 0))
+    o_spec = pl.BlockSpec((MM_TILE, cout), lambda i: (i, 0))
+    grid = (pl.cdiv(m, MM_TILE),)
+    if silu:
+        kernel = functools.partial(
+            _conv1x1_silu_kernel, qmax=qmax, sig_scale=sig_scale,
+            sig_qmax=sig_qmax, corrections=corrections, bigshift=bigshift)
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[x_spec, w_spec, c_spec, c_spec, c_spec, c_spec,
+                      c_spec],
+            out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((m, cout), jnp.int8),
+            interpret=_interpret(),
+        )(x2, w_io_i8, col(bias_c), col(r1_c), col(s1_c), col(r2_c),
+          col(s2_c))
+    else:
+        out = pl.pallas_call(
+            _conv1x1_plain_kernel, grid=grid,
+            in_specs=[x_spec, w_spec, c_spec], out_specs=o_spec,
+            out_shape=jax.ShapeDtypeStruct((m, cout), jnp.int32),
+            interpret=_interpret(),
+        )(x2, w_io_i8, col(bias_c))
+    return out.reshape(b, h, w, cout)
+
+
 def _postconv_plain_kernel(hi_ref, lo_ref, bias_ref, out_ref):
     out_ref[:] = (hi_ref[:].astype(jnp.int32) * 16) + \
         lo_ref[:].astype(jnp.int32) + bias_ref[:]

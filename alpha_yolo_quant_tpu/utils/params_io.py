@@ -27,3 +27,20 @@ def load_params(path: str) -> Dict:
             key, f = name.rsplit(".", 1)
             out.setdefault(key, {})[f] = z[name]
     return out
+
+
+def save_params_orbax(params: Dict, path: str) -> None:
+    """Orbax checkpoint (for integration with orbax-managed training/eval
+    setups); the .npz format remains the default."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

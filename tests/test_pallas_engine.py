@@ -94,3 +94,16 @@ def test_s8_nhwc_engine_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(got[role]).astype(np.int64),
             np.asarray(want[role]).astype(np.int64), err_msg=role)
+
+
+def test_fused_engine_bit_exact():
+    cfg, model = _setup()
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    want = int_forward(model, device_plan(model), xq, engine="xla")
+    got = int_forward(model, device_plan(model, pallas=True), xq,
+                      engine="fused")
+    for role in model.graph.outputs:
+        np.testing.assert_array_equal(
+            np.asarray(got[role]).astype(np.int64),
+            np.asarray(want[role]).astype(np.int64), err_msg=role)
