@@ -59,6 +59,9 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
                                       jnp.int8),
              "w_io_i8": jnp.asarray(c.w_q[:, :, 0, 0].T, jnp.int8)
              if c.node.kernel == 1 else None,
+             "w_tap_i8": jnp.asarray(
+                 c.w_q.transpose(1, 2, 3, 0).reshape(-1, c.w_q.shape[0]),
+                 jnp.int8) if c.node.kernel == 3 else None,
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
@@ -128,7 +131,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     if use_s8:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_s8_exact
     if fused1x1 or use_pallas:
-        from alpha_yolo_quant_tpu.runtime.pallas_ops import fused_conv1x1
+        from alpha_yolo_quant_tpu.runtime.pallas_ops import (
+            fused_conv1x1, fused_conv3x3,
+        )
 
         sig = model.sig_lut
         sig_scale_f = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
@@ -172,6 +177,18 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 continue
             if use_s8:
                 wide = model.edge_amax_int[node.src] > 127
+                if fused1x1 and node.kernel == 3 and not wide:
+                    kw = dict(qmax=qmax, sig_scale=sig_scale_f,
+                              sig_qmax=sig_qmax_f,
+                              corrections=plan["pallas_sigma_corrections"],
+                              bigshift=model.convs[node.name].bigshift_ok
+                              ) if node.silu else {}
+                    env[node.dst] = fused_conv3x3(
+                        env[node.src].astype(jnp.int8), c["w_tap_i8"],
+                        c["b_c"], c.get("r1_c"), c.get("s1_c"),
+                        c.get("r2_c"), c.get("s2_c"),
+                        stride=node.stride, silu=node.silu, **kw)
+                    continue
                 if fused1x1 and node.kernel == 1 and not wide:
                     if node.silu:
                         env[node.dst] = fused_conv1x1(

@@ -204,6 +204,37 @@ def fused_conv1x1(x_nhwc_i8, w_io_i8, bias_c, r1_c=None, s1_c=None,
     return out.reshape(b, h, w, cout)
 
 
+ROWS3 = 8  # kept for engine gating (output rows divisibility)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "qmax", "sig_scale",
+                                             "sig_qmax", "corrections",
+                                             "bigshift", "silu"))
+def fused_conv3x3(x_nhwc_i8, w_tap_i8, bias_c, r1_c=None, s1_c=None,
+                  r2_c=None, s2_c=None, *, stride: int = 1,
+                  qmax: int = 127, sig_scale: float = 1.0,
+                  sig_qmax: float = 127.0,
+                  corrections: Tuple[Tuple[int, int], ...] = (),
+                  bigshift: bool = False, silu: bool = True):
+    """3x3 pad-1 conv as im2col patches (XLA, NHWC — no transpose) + the
+    fused s8-matmul/epilogue kernel.
+
+    x_nhwc_i8: (B,H,W,Cin) int8; w_tap_i8: (9*Cin, Cout) int8 with rows in
+    the patches' (c, dy, dx) channel order
+    (= w_q.transpose(1,2,3,0).reshape(9*Cin, Cout)).
+    Returns NHWC int8 (silu) or int32 raw accumulators.
+    """
+    from jax import lax
+
+    p = lax.conv_general_dilated_patches(
+        x_nhwc_i8, (3, 3), (stride, stride), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return fused_conv1x1(p, w_tap_i8, bias_c, r1_c, s1_c, r2_c, s2_c,
+                         qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
+                         corrections=corrections, bigshift=bigshift,
+                         silu=silu)
+
+
 def _postconv_plain_kernel(hi_ref, lo_ref, bias_ref, out_ref):
     out_ref[:] = (hi_ref[:].astype(jnp.int32) * 16) + \
         lo_ref[:].astype(jnp.int32) + bias_ref[:]

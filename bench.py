@@ -40,19 +40,33 @@ def main():
         0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
     model = build_quantized_model(graph, params, max_a, cfg)
-    fn, _ = build_int_pipeline(model, engine="s8")
-    step = jax.jit(fn)
+    fn, _ = build_int_pipeline(model, engine="s8")  # noqa: fn used in chained
 
+    import jax.numpy as jnp
+
+    # Chain iterations through a data dependency and fetch a scalar at the
+    # end: the remote executor reports buffers "ready" lazily, so plain
+    # block_until_ready over repeated identical calls can under-measure.
+    @jax.jit
+    def chained(images, n_iters):
+        def body(i, carry):
+            imgs, acc = carry
+            det, n_det = step_inner(imgs)
+            probe = det[0, 0, 0]
+            imgs = jnp.where(probe > 1e30, imgs + 1.0, imgs)
+            return (imgs, acc + probe)
+        (_, acc) = jax.lax.fori_loop(0, n_iters, body, (images,
+                                                        jnp.float32(0)))
+        return acc
+
+    step_inner = fn
     images = np.random.default_rng(0).uniform(
         0, 1, (BATCH, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     images = jax.device_put(images)
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(step(images))
+    float(chained(images, WARMUP))          # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(images)
-    jax.block_until_ready(out)
+    float(chained(images, ITERS))           # host fetch forces completion
     dt = time.perf_counter() - t0
 
     img_s = BATCH * ITERS / dt
