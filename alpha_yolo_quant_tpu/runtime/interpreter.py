@@ -102,8 +102,7 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
         s = qmax / a
     else:
         a, s = 1.0, float(qmax)
-    return jnp.clip(jnp.round(jnp.clip(x, -a, a) * s), -2**31, 2**31 - 1
-                    ).astype(jnp.int32)
+    return jnp.round(jnp.clip(x, -a, a) * s).astype(jnp.int8)
 
 
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
