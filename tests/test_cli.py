@@ -64,3 +64,15 @@ def test_eval_int8_on_synthetic_coco(art, tmp_path):
               "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
     assert os.path.exists(os.path.join(art, "results", "runs_val",
                                        "results.txt"))
+
+
+def test_eval_float_on_synthetic_coco(art, tmp_path):
+    from tests_synth import write_synthetic_coco
+
+    img_dir, ann = write_synthetic_coco(tmp_path, n_images=4)
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    cli.main(["eval-float", "--out", art, "--weights", w,
+              "--image-size", "64", "--coco-images", img_dir,
+              "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
+    assert os.path.exists(os.path.join(art, "results",
+                                       "ORIG_MODEL_MAP.txt"))

@@ -131,3 +131,18 @@ def test_run_log_roundtrip(tmp_path):
     runs = read_run_results(str(tmp_path))
     assert [r["map"] for r in runs] == [0.362, 0.365]
     assert runs[1]["comment"] == "int8 minmae"
+
+
+def test_debug_dump_roundtrip(tmp_path):
+    from alpha_yolo_quant_tpu.utils.debug_dump import (
+        dump_env, matrix_txt, result_txt,
+    )
+
+    m = np.arange(8).reshape(1, 2, 2, 2)
+    p = result_txt(m, str(tmp_path / "r.txt"))
+    assert "0  1" in open(p).read()
+    p2 = matrix_txt(m, "M", str(tmp_path / "m.txt"))
+    assert "M:" in open(p2).read()
+    dump_env({"edge:a": m}, str(tmp_path / "env"))
+    got = np.load(tmp_path / "env" / "edge_a.npy")
+    np.testing.assert_array_equal(got, m)
