@@ -150,7 +150,7 @@ def _eval_common(args, step, comment, stage):
     cfg = _cfg(args)
     ds = CocoValDataset(args.coco_images, args.coco_ann, limit=args.limit)
     res = evaluate(step, ds, args.batch_size, cfg.image_size,
-                   progress=True)
+                   progress=True, prefetch=args.prefetch)
     print(f"mAP50-95: {res.map50_95:.4f} over {res.n_images} images "
           f"({res.images_per_s:.1f} img/s device)")
     make_dirs(args.out)
@@ -293,6 +293,8 @@ def main(argv=None):
         sp.add_argument("--limit", type=int, default=None)
         sp.add_argument("--batch-size", type=int, default=16)
         sp.add_argument("--conf-thres", type=float, default=0.001)
+        sp.add_argument("--prefetch", action="store_true",
+                        help="async host decode + device staging")
         if name == "eval-int8":
             sp.add_argument("--max-a", required=True)
             sp.add_argument("--full-quant", action="store_true")

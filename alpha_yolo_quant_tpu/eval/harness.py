@@ -33,19 +33,29 @@ class EvalResult:
 
 def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
              image_size: int = 640, box_descale: float = 1.0,
-             conf_scale: float = 1.0, progress: bool = False) -> EvalResult:
+             conf_scale: float = 1.0, progress: bool = False,
+             prefetch: bool = False) -> EvalResult:
     """step(images f32 (B,3,S,S)) -> (det (B,max_det,6), n_det (B,)).
 
     Boxes are expected in the model frame; annotations are normalized by
     the original image size per the reference convention (detections stay
     in the 640 frame because the reference's `orig_img` is the resized
     tensor — stage_4.py:476, utils/coco.py:152-175).
+
+    prefetch: decode/stage the next batches on background threads while the
+    device computes (data.prefetch).
     """
     ann_rows: List[list] = []
     det_rows: List[list] = []
     n_img = 0
     t_dev = 0.0
-    for imgs, samples in batches(ds, batch_size, image_size):
+    if prefetch:
+        from alpha_yolo_quant_tpu.data.prefetch import prefetch_batches
+
+        batch_iter = prefetch_batches(ds, batch_size, image_size)
+    else:
+        batch_iter = batches(ds, batch_size, image_size)
+    for imgs, samples in batch_iter:
         t0 = time.perf_counter()
         det, n_det = jax.device_get(step(imgs))
         t_dev += time.perf_counter() - t0

@@ -146,3 +146,18 @@ def test_debug_dump_roundtrip(tmp_path):
     dump_env({"edge:a": m}, str(tmp_path / "env"))
     got = np.load(tmp_path / "env" / "edge_a.npy")
     np.testing.assert_array_equal(got, m)
+
+
+def test_harness_prefetch_path(tmp_path):
+    """The async prefetch pipeline yields identical batches/results."""
+    img_dir, ann_path = _write_synthetic_coco(tmp_path)
+    ds = CocoValDataset(img_dir, ann_path)
+
+    def step(imgs):
+        b = np.asarray(imgs).shape[0]
+        return np.zeros((b, 300, 6), np.float32), np.zeros((b,), np.int32)
+
+    r1 = evaluate(step, ds, batch_size=2, image_size=64, prefetch=False)
+    r2 = evaluate(step, ds, batch_size=2, image_size=64, prefetch=True)
+    assert r1.n_images == r2.n_images == len(ds)
+    assert r1.map50_95 == r2.map50_95 == 0.0
