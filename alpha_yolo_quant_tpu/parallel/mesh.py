@@ -34,6 +34,33 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 
 
+def make_mesh_2d(dp: int, tp: int) -> Mesh:
+    """(dp, tp) mesh: batch over 'dp', model (output channels) over 'tp'.
+
+    At YOLOv8n scale tensor parallelism is never a win (3M params — see
+    SURVEY.md §2.9), but the sharding seam exists so larger variants can
+    shard: conv weights partition on C_out, XLA inserts the gathers."""
+    devices = jax.devices()[: dp * tp]
+    return jax.make_mesh(
+        (dp, tp), ("dp", "tp"),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2, devices=devices)
+
+
+def shard_params_tp(mesh: Mesh, params, axis: str = "tp"):
+    """Place fused conv params with C_out sharded over `axis` (weights
+    (O,I,kh,kw) and biases (O,) partition on dim 0); DFL stays replicated."""
+    out = {}
+    for key, p in params.items():
+        if key == "dfl":
+            out[key] = jax.device_put(p, NamedSharding(mesh, P()))
+            continue
+        out[key] = {
+            "w": jax.device_put(p["w"], NamedSharding(mesh, P(axis))),
+            "b": jax.device_put(p["b"], NamedSharding(mesh, P(axis))),
+        }
+    return out
+
+
 def shard_batch(mesh: Mesh, x, axis: str = "dp"):
     """Place a host array batch-sharded over the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P(axis)))

@@ -1,0 +1,82 @@
+"""Mesh parallelism on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import conftest  # noqa: F401
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.models.forward import forward_float
+from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+from alpha_yolo_quant_tpu.models.head import decode_float
+from alpha_yolo_quant_tpu.models.params import init_params
+from alpha_yolo_quant_tpu.parallel.mesh import (
+    data_parallel_step, make_mesh, make_mesh_2d, replicate, shard_batch,
+    shard_params_tp, sharded_forward_fn,
+)
+
+RNG = np.random.default_rng(17)
+
+
+def _setup(size=64):
+    cfg = QuantConfig(model="yolov8n", image_size=size)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=0)
+    return cfg, graph, params
+
+
+def test_dp_calibration_reduces_across_devices():
+    cfg, graph, params = _setup()
+    mesh = make_mesh(8)
+    step = sharded_forward_fn(graph, mesh, decode=True, collect_taps=True)
+    imgs = shard_batch(mesh, RNG.uniform(0, 1, (8, 3, 64, 64)).astype(
+        np.float32))
+    out = step(replicate(mesh, params), imgs)
+    # tap values equal the unsharded global maxima
+    _, taps = forward_float(graph, params, imgs, collect_taps=True)
+    for name in ("conv_p1", "x_down_2"):
+        np.testing.assert_allclose(float(out["taps"][name]),
+                                   float(np.max(np.asarray(taps[name]))),
+                                   rtol=1e-6)
+
+
+def test_tp_weight_sharding_matches_replicated():
+    cfg, graph, params = _setup()
+    mesh2 = make_mesh_2d(4, 2)
+    params_tp = shard_params_tp(mesh2, params)
+    imgs = jax.device_put(RNG.uniform(0, 1, (4, 3, 64, 64)).astype(
+        np.float32), NamedSharding(mesh2, P("dp")))
+
+    @jax.jit
+    def step(pp, xx):
+        outs, _ = forward_float(graph, pp, xx)
+        return decode_float(outs, pp["dfl"]["w"])
+
+    got = np.asarray(step(params_tp, imgs))
+    want = np.asarray(step(params, np.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_shard_map_serving_step_matches_local():
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_stats, reduce_stats,
+    )
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg, graph, params = _setup()
+    calib = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+
+    mesh = make_mesh(8)
+    step = data_parallel_step(fn, mesh)
+    imgs = RNG.uniform(0, 1, (8, 3, 64, 64)).astype(np.float32)
+    det_s, n_s = step(shard_batch(mesh, imgs))
+    det_l, n_l = fn(imgs)
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_l))
+    np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_l),
+                               rtol=1e-6)
