@@ -242,6 +242,39 @@ def cmd_demo(args):
         print(f"plot -> {args.plot}")
 
 
+def cmd_info(args):
+    """Model/plan summary: layers, channels, taps, scales."""
+    from alpha_yolo_quant_tpu.hwsim.sram import simulate
+    from alpha_yolo_quant_tpu.models.graph import (
+        ConvNode, build_yolov8_graph,
+    )
+
+    cfg = _cfg(args)
+    graph = build_yolov8_graph(cfg)
+    convs = graph.convs()
+    n_params = sum(c.cout * c.cin * c.kernel * c.kernel + c.cout
+                   for c in convs)
+    print(f"{cfg.model} K={cfg.k} {cfg.image_size}x{cfg.image_size}  "
+          f"{len(convs)} convs, {n_params/1e6:.2f}M params")
+    print(f"{'layer':<22}{'key':<20}{'shape':<16}{'k/s/p':<8}"
+          f"{'tap':<18}{'out_tap'}")
+    for c in convs:
+        print(f"{c.name:<22}{c.key:<20}"
+              f"{f'{c.cin}->{c.cout}':<16}"
+              f"{f'{c.kernel}/{c.stride}/{c.padding}':<8}"
+              f"{c.tap or '':<18}{c.out_tap or ''}")
+    if args.max_a:
+        from alpha_yolo_quant_tpu.utils.io import read_max_a
+
+        max_a = read_max_a(args.max_a)
+        print("\ncalibration (tap: a):")
+        for name, v in max_a.items():
+            print(f"  {name:<20} {v:.6g}")
+    sim = simulate(graph, cfg.image_size)
+    print(f"\nSRAM plan: peak {sim.peak_cells} cells "
+          f"({sim.peak_rows} rows of 8)")
+
+
 def cmd_bench(args):
     import bench
 
@@ -314,6 +347,11 @@ def main(argv=None):
     sp.add_argument("--image", required=True)
     sp.add_argument("--plot")
     sp.set_defaults(fn=cmd_demo)
+
+    sp = sub.add_parser("info", help="model/plan summary")
+    common(sp, weights=False)
+    sp.add_argument("--max-a")
+    sp.set_defaults(fn=cmd_info)
 
     sp = sub.add_parser("bench", help="single-chip throughput")
     common(sp, weights=False)

@@ -51,3 +51,26 @@ def dfl_weights_from_artifacts(out_dir: str) -> np.ndarray:
     """Float DFL weights for the partial-quant decode."""
     p = os.path.join(out_dir, "weights_pickle", "dfl.pickle")
     return np.asarray(load_gz_pickle(p), np.float32)
+
+
+def model_from_packed_state_dict(out_dir: str, cfg: QuantConfig,
+                                 graph: Optional[Graph] = None
+                                 ) -> QuantizedModel:
+    """The exact stage-8 load interface: QUANT_WEIGHTS_{K} packed state
+    dict + bias_scales/ + max_a.txt -> runnable model (reference
+    stage_8_torch.py:262-268, 965-968)."""
+    from alpha_yolo_quant_tpu.export.pickles import load_packed_state_dict
+
+    graph = graph or build_yolov8_graph(cfg)
+    max_a = read_max_a(os.path.join(out_dir, "results", "max_a.txt"))
+    sd = load_packed_state_dict(
+        os.path.join(out_dir, "results", f"QUANT_WEIGHTS_{cfg.k}.pickle"))
+    scales = load_scales(out_dir)
+    override = {}
+    for node in graph.convs():
+        override[node.name] = (np.int64(sd[f"{node.key}.weight"]),
+                               np.int64(sd[f"{node.key}.bias"]),
+                               scales[node.name])
+    params = {"dfl": {"w": np.asarray(sd["dfl.weight"], np.float64)}}
+    return build_quantized_model(graph, params, max_a, cfg,
+                                 weights_override=override)

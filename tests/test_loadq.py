@@ -57,3 +57,27 @@ def test_artifact_roundtrip(tmp_path):
     for role in graph.outputs:
         np.testing.assert_array_equal(np.asarray(got[role]),
                                       np.asarray(want[role]))
+
+
+def test_packed_state_dict_load(tmp_path):
+    from alpha_yolo_quant_tpu.quantize.loadq import (
+        model_from_packed_state_dict,
+    )
+
+    cfg = QuantConfig(model="yolov8n", k=8, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=4)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    built = build_quantized_model(graph, params, max_a, cfg)
+    out = str(tmp_path / "8_nano")
+    env = golden_forward(built, RNG.uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32))
+    export_all(built, env, params, out, warn=lambda *a: None)
+
+    loaded = model_from_packed_state_dict(out, cfg)
+    for name, c in built.convs.items():
+        np.testing.assert_array_equal(loaded.convs[name].w_q, c.w_q)
+        np.testing.assert_array_equal(loaded.convs[name].b_q, c.b_q)
+        if c.node.silu:
+            np.testing.assert_array_equal(loaded.convs[name].r2, c.r2)
