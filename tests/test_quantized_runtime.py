@@ -25,7 +25,7 @@ from alpha_yolo_quant_tpu.runtime.interpreter import (
 RNG = np.random.default_rng(42)
 
 
-def _setup(k=8, full_quant=False, size=128, seed=0):
+def _setup(k=8, full_quant=False, size=64, seed=0):
     cfg = QuantConfig(model="yolov8n", k=k, full_quant=full_quant,
                       image_size=size)
     graph = build_yolov8_graph(cfg)
