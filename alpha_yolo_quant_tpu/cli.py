@@ -333,7 +333,7 @@ def main(argv=None):
             sp.add_argument("--full-quant", action="store_true")
             sp.add_argument("--engine", default="s8",
                             choices=["xla", "s8", "s8_nhwc", "nhwc",
-                                     "pallas", "fused"])
+                                     "pallas", "fused", "auto"])
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("memsim", help="SRAM allocation simulation")

@@ -153,6 +153,21 @@ def conv2d_s8_s2d(x_int, w_s2d_i8):
         preferred_element_type=jnp.int32)
 
 
+def conv2d_bf16_exact(x_int, w_i8, stride: int = 1, padding: int = 0):
+    """Single-pass bf16 conv, exact when the per-output accumulation bound
+    sum|w|*amax(x) + |b| < 2^24 holds (verified per layer by the quantizer:
+    ConvPlan.bf16_single_ok). bf16 represents ints up to 256 exactly, so
+    every product |w|<=127 x |x|<=254 is exact and the f32 accumulation of
+    integers below 2^24 is exact."""
+    w_b = w_i8.astype(jnp.bfloat16)
+    acc = lax.conv_general_dilated(
+        x_int.astype(jnp.bfloat16), w_b, window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return acc.astype(jnp.int32)
+
+
 def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
     """Exact integer conv: int[N,C,H,W] x int[O,I,kh,kw] -> int32.
 

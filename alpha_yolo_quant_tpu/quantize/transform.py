@@ -54,6 +54,10 @@ class ConvPlan:
     # both requant shifts >= 16 -> the fast bigshift formulation applies
     # (ops/intmath.requantize_i32_bigshift)
     bigshift_ok: bool = False
+    # per-output accumulation < 2^24 -> single-pass bf16 conv is exact
+    # (ops/nn.conv2d_bf16_exact); measured faster than s8 on stride-1 and
+    # 1x1 layers on v5e
+    bf16_single_ok: bool = False
 
 
 @dataclasses.dataclass
@@ -179,9 +183,13 @@ def build_quantized_model(graph: Graph, params: Dict,
             if np.abs(b_q).max() >= 2 ** (cfg.bias_bits - 1) and bias_warn:
                 bias_warn(node.name, int(np.abs(b_q).max()))
             _check_accumulator_bounds(node, w_q, b_q, edge_amax[node.src])
+            wabs = np.abs(np.int64(w_q).reshape(w_q.shape[0], -1)).sum(1)
+            bf16_ok = bool((wabs * edge_amax[node.src]
+                            + np.abs(np.int64(b_q))).max() < 2 ** 24)
             plan = ConvPlan(node=node, w_q=w_q.astype(np.int32),
                             b_q=b_q.astype(np.int32), in_scale=float(in_s),
-                            w_scales=w_scales[:, 0], acc_scale=acc_scale)
+                            w_scales=w_scales[:, 0], acc_scale=acc_scale,
+                            bf16_single_ok=bf16_ok)
             if node.silu:
                 a_out = max_a[node.out_tap]
                 out_s = scale_for(a_out, k)

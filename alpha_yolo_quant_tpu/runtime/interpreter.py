@@ -125,10 +125,13 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
     use_pallas = engine == "pallas" and not keep_env
-    use_s8 = engine in ("s8", "s8_nhwc", "fused") and not keep_env
+    use_s8 = engine in ("s8", "s8_nhwc", "fused", "auto") and not keep_env
+    auto_flavor = engine == "auto" and not keep_env
     fused1x1 = engine == "fused" and not keep_env
     if use_s8:
-        from alpha_yolo_quant_tpu.ops.nn import conv2d_s8_exact
+        from alpha_yolo_quant_tpu.ops.nn import (
+            conv2d_bf16_exact, conv2d_s8_exact,
+        )
     if fused1x1 or use_pallas:
         from alpha_yolo_quant_tpu.runtime.pallas_ops import (
             fused_conv1x1, fused_conv3x3,
@@ -203,11 +206,19 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                             env[node.src].astype(jnp.int8), c["w_io_i8"],
                             c["b_c"], silu=False)
                     continue
-                acc = conv2d_s8_exact(
-                    env[node.src],
-                    c["w_hwio_i8"] if nhwc else c["w_i8"],
-                    node.stride, node.padding, wide_input=wide,
-                    nhwc=nhwc) + cshape(c["b"])
+                prefer_bf16 = (auto_flavor
+                               and model.convs[node.name].bf16_single_ok
+                               and (node.kernel == 1 or node.stride == 1))
+                if prefer_bf16:
+                    acc = conv2d_bf16_exact(env[node.src], c["w_i8"],
+                                            node.stride,
+                                            node.padding) + c["b"]
+                else:
+                    acc = conv2d_s8_exact(
+                        env[node.src],
+                        c["w_hwio_i8"] if nhwc else c["w_i8"],
+                        node.stride, node.padding, wide_input=wide,
+                        nhwc=nhwc) + cshape(c["b"])
             elif nhwc:
                 hi, lo = conv2d_int_parts(env[node.src], c["w_hwio"],
                                           node.stride, node.padding,

@@ -40,7 +40,7 @@ def main():
         0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
     model = build_quantized_model(graph, params, max_a, cfg)
-    fn, _ = build_int_pipeline(model, engine="s8")  # noqa: fn used in chained
+    fn, _ = build_int_pipeline(model, engine="auto")
 
     import jax.numpy as jnp
 

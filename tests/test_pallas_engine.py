@@ -107,3 +107,17 @@ def test_fused_engine_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(got[role]).astype(np.int64),
             np.asarray(want[role]).astype(np.int64), err_msg=role)
+
+
+def test_auto_engine_bit_exact():
+    cfg, model = _setup()
+    assert any(c.bf16_single_ok for c in model.convs.values())
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    plan = device_plan(model)
+    want = int_forward(model, plan, xq, engine="xla")
+    got = int_forward(model, plan, xq, engine="auto")
+    for role in model.graph.outputs:
+        np.testing.assert_array_equal(
+            np.asarray(got[role]).astype(np.int64),
+            np.asarray(want[role]).astype(np.int64), err_msg=role)
