@@ -323,10 +323,13 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
         bacc = outs[f"{level}_box"]
         cacc = outs[f"{level}_cls"]
         shapes.append((bacc.shape[2], bacc.shape[3]))
-        bq = requantize_i32(bacc, hp["box_r"][level], hp["box_s"][level],
-                            127)
-        cq = requantize_i32(cacc, hp["cls_r"][level], hp["cls_s"][level],
-                            2 ** 15 - 1)
+        breq = (requantize_i32_bigshift
+                if int(np.min(h.box_s[level])) >= 16 else requantize_i32)
+        creq = (requantize_i32_bigshift
+                if int(np.min(h.cls_s[level])) >= 16 else requantize_i32)
+        bq = breq(bacc, hp["box_r"][level], hp["box_s"][level], 127)
+        cq = creq(cacc, hp["cls_r"][level], hp["cls_s"][level],
+                  2 ** 15 - 1)
         b = bq.shape[0]
         boxes.append(bq.reshape(b, 64, -1))
         clss.append(cq.reshape(b, 80, -1))
