@@ -21,7 +21,6 @@ Run as: python -m alpha_yolo_quant_tpu.cli <command> [flags]
 from __future__ import annotations
 
 import argparse
-
 import os
 import sys
 

@@ -114,13 +114,17 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     '<conv name>:sigdom'.
 
     engine:
-      'xla'    bf16 nibble-split convs, pure-jnp ops, NCHW (debug/export)
-      's8'     native s8xs8->int32 MXU convs — one pass per layer, exact by
-               hardware integer accumulation; 9-bit concat inputs take a
-               clip+remainder second conv
-      'nhwc'   pure-jnp ops in the TPU's native NHWC layout
-      'pallas' fused post-conv kernels (bit-identical)
-    All engines produce bit-identical results."""
+      'xla'     bf16 nibble-split convs, pure-jnp ops, NCHW (debug/export)
+      's8'      native s8xs8->int32 MXU convs — one pass per layer, exact
+                by hardware integer accumulation; 9-bit concat inputs take
+                a clip+remainder second conv
+      'auto'    per-layer flavor: exact single-pass bf16 where the
+                accumulation bound allows (fastest measured), s8 otherwise
+      'nhwc'    pure-jnp ops in the TPU's native NHWC layout
+      's8_nhwc' s8 convs in NHWC
+      'pallas'  fused post-conv Pallas kernels
+      'fused'   Pallas matmul kernels for 1x1 + patches-based 3x3
+    All engines produce bit-identical results (tested)."""
     cfg = model.cfg
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
@@ -136,10 +140,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         from alpha_yolo_quant_tpu.runtime.pallas_ops import (
             fused_conv1x1, fused_conv3x3,
         )
-
-        sig = model.sig_lut
-        sig_scale_f = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
-        sig_qmax_f = float(2 ** (sig.bits - 1) - 1)
+    sig = model.sig_lut
+    sig_scale_f = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
+    sig_qmax_f = float(2 ** (sig.bits - 1) - 1)
     cax = 3 if nhwc else 1
     if use_pallas:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
@@ -147,9 +150,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             fused_postconv_plain, fused_postconv_silu,
         )
 
-        sig = model.sig_lut
-        sig_scale = float((2 ** (sig.bits - 1) - 1) / sig.max_val)
-        sig_qmax = float(2 ** (sig.bits - 1) - 1)
+        sig_scale, sig_qmax = sig_scale_f, sig_qmax_f
     if nhwc:
         from alpha_yolo_quant_tpu.ops.nn import conv2d_int_parts
 
