@@ -2,6 +2,7 @@
 plan bit-for-bit (the stage-7/8 hand-off without the mtime hack)."""
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -12,6 +13,7 @@ from alpha_yolo_quant_tpu.export.artifacts import export_all
 from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
 from alpha_yolo_quant_tpu.models.params import init_params
 from alpha_yolo_quant_tpu.quantize.calibrate import collect_stats, reduce_stats
+import os
 from alpha_yolo_quant_tpu.quantize.loadq import model_from_artifacts
 from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
 from alpha_yolo_quant_tpu.runtime.golden import golden_forward
@@ -81,3 +83,35 @@ def test_packed_state_dict_load(tmp_path):
         np.testing.assert_array_equal(loaded.convs[name].b_q, c.b_q)
         if c.node.silu:
             np.testing.assert_array_equal(loaded.convs[name].r2, c.r2)
+
+
+@pytest.mark.parametrize("k", [4, 6])
+def test_bitwidth_sweep_roundtrip(tmp_path, k):
+    """Config #4: calibrate -> quantize -> export -> reload at K=4/6 stays
+    bit-identical (K=8 covered by test_artifact_roundtrip)."""
+    cfg = QuantConfig(model="yolov8n", k=k, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=11)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max", k)
+    built = build_quantized_model(graph, params, max_a, cfg)
+    assert int(np.abs(built.convs["Conv_P1"].w_q).max()) <= cfg.qmax
+
+    x = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    env = golden_forward(built, x)
+    out = str(tmp_path / cfg.main_dir_name)
+    export_all(built, env, params, out, warn=lambda *a: None)
+    # K-bit verilog widths in the weight files
+    import glob
+    f = glob.glob(os.path.join(out, "quant_weights_yolov8n",
+                               "Conv_P1_*.txt"))[0]
+    first = [l for l in open(f) if l.startswith("weight[0]")][0]
+    assert f"{k-1}'b" in first
+
+    loaded = model_from_artifacts(out, cfg)
+    xq = quantize_input(jnp.asarray(x), k)
+    want = int_forward(built, device_plan(built), xq)
+    got = int_forward(loaded, device_plan(loaded), xq)
+    for role in graph.outputs:
+        np.testing.assert_array_equal(np.asarray(got[role]),
+                                      np.asarray(want[role]))
