@@ -99,28 +99,49 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
         iou = inter / (areas[:, None] + areas[None, :] - inter)
         suppress = iou > iou_thres
 
-    # rank by descending score, ties broken by lower index (matches the
-    # score-sorted candidate order used by non_max_suppression)
-    idx = jnp.arange(n)
-    higher = (scores[:, None] > scores[None, :]) | (
-        (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
-    t_mat = (suppress & higher & valid[:, None]).astype(jnp.float32)
+    # rank-permute so blocks partition by descending score (stable argsort
+    # breaks ties by lower index — the same convention as the reference's
+    # ordering); non_max_suppression already passes sorted candidates, so
+    # this is the identity there.
+    perm = jnp.argsort(-scores, stable=True)
+    suppress = suppress[perm][:, perm]
+    valid = valid[perm]
+    t_mat = (suppress & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
+             & valid[:, None]).astype(jnp.float32)
 
-    def cond(c):
-        keep, prev, it = c
-        return (it < n) & jnp.any(keep != prev)
+    # Blocked greedy: process candidates in score order in blocks. Each
+    # block is first pruned by everything already kept (one matvec), then
+    # its internal suppression DAG is resolved by Jacobi iteration — now
+    # bounded by the block size instead of the GLOBAL chain depth (dense
+    # candidate sets can have ~N-deep chains; measured 85ms -> bounded).
+    blk = 128
+    kept = jnp.zeros((n,), jnp.float32)
+    for start in range(0, n, blk):
+        end = min(start + blk, n)
+        size = end - start
+        pre_kill = (kept @ t_mat[:, start:end]) > 0.5
+        v_b = valid[start:end] & ~pre_kill
+        t_b = t_mat[start:end, start:end]
 
-    def body(c):
-        keep, _, it = c
-        killed = (keep.astype(jnp.float32) @ t_mat) > 0.5
-        return valid & ~killed, keep, it + 1
+        def cond(c):
+            k, prev, it = c
+            return (it < size) & jnp.any(k != prev)
 
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (valid, jnp.zeros_like(valid), jnp.int32(0)))
+        def body(c):
+            k, _, it = c
+            killed = (k.astype(jnp.float32) @ t_b) > 0.5
+            return v_b & ~killed, k, it + 1
+
+        k_b, _, _ = jax.lax.while_loop(
+            cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
+        kept = kept.at[start:end].set(k_b.astype(jnp.float32))
+    keep_sorted = kept > 0.5
     # truncate the survivor list to max_det in score order
     # (reference coord: i = i[:max_det])
-    within = jnp.cumsum(keep.astype(jnp.int32)) <= max_det
-    return keep & within
+    within = jnp.cumsum(keep_sorted.astype(jnp.int32)) <= max_det
+    keep_sorted = keep_sorted & within
+    # scatter back to the caller's candidate order
+    return jnp.zeros((n,), bool).at[perm].set(keep_sorted)
 
 
 def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
@@ -133,7 +154,11 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
     valid = conf > conf_thres
     m = min(pre_topk or max_nms, max_nms, conf.shape[0])
     score_for_sort = jnp.where(valid, conf, -jnp.inf)
-    _, idx = jax.lax.top_k(score_for_sort, m)
+    # argsort-based top-k: XLA's batched TopK lowering is catastrophically
+    # slow on this backend for large k (measured 19s vs 4.5ms at
+    # (128, 8400) k=1000); a full descending sort is cheap and gives the
+    # stable lowest-index tie order the NMS rank matrix assumes.
+    idx = jnp.argsort(-score_for_sort)[:m]
     return box[idx], conf[idx], cls[idx], valid[idx]
 
 
