@@ -108,3 +108,24 @@ def test_scale_boxes_roundtrip():
     out = np.asarray(scale_boxes((640, 640), boxes, (480, 640)))
     # gain = min(640/480, 640/640) = 1.0 -> pad_y = round(80-0.1) = 80
     np.testing.assert_allclose(out, [[100.0, 40.0, 300.0, 280.0]])
+
+
+@ref_exists
+def test_greedy_mask_dense_clusters_parity():
+    """Dense overlapping candidates produce deep suppression chains — the
+    regime the blocked implementation restructures; keep-set must still
+    match the reference exactly."""
+    ref = load_ref("utils.bbox_cls_functions")
+    rng = np.random.default_rng(99)
+    n = 600
+    # a few tight clusters of heavily-overlapping boxes
+    centers = rng.uniform(100, 500, (6, 2))
+    xy = centers[rng.integers(0, 6, n)] + rng.normal(0, 4, (n, 2))
+    wh = rng.uniform(40, 60, (n, 2))
+    boxes = np.concatenate((xy, xy + wh), 1)
+    scores = rng.uniform(0, 1, n)
+    want = ref.nms(boxes, scores, 0.45)
+    keep = np.asarray(_greedy_nms_mask(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
+        jnp.ones(n, bool), 0.45, 600, 1.0, False))
+    assert set(np.nonzero(keep)[0].tolist()) == set(int(i) for i in want)
