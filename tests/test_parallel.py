@@ -59,6 +59,26 @@ def test_tp_weight_sharding_matches_replicated():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_dryrun_multichip_is_self_contained():
+    """Simulate the driver: fresh process, NO conftest env forcing, import
+    __graft_entry__ and call dryrun_multichip(8) directly. The function must
+    force the virtual CPU mesh itself (round-1 MULTICHIP failure: it
+    initialized the real-TPU backend when called this way)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import __graft_entry__ as g; g.dryrun_multichip(8); "
+            "print('DRIVER_OK')")
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "DRIVER_OK" in r.stdout
+
+
 def test_shard_map_serving_step_matches_local():
     from alpha_yolo_quant_tpu.quantize.calibrate import (
         collect_stats, reduce_stats,
