@@ -277,7 +277,8 @@ def cmd_info(args):
 def cmd_bench(args):
     import bench
 
-    bench.main()
+    bench.main(model=args.model, k=args.k, image_size=args.image_size,
+               engine=args.engine, batch=args.batch, iters=args.iters)
 
 
 def main(argv=None):
@@ -354,6 +355,11 @@ def main(argv=None):
 
     sp = sub.add_parser("bench", help="single-chip throughput")
     common(sp, weights=False)
+    sp.add_argument("--engine", default="auto",
+                    choices=["xla", "s8", "s8_nhwc", "nhwc", "auto",
+                             "pallas", "fused"])
+    sp.add_argument("--batch", type=int, default=128)
+    sp.add_argument("--iters", type=int, default=10)
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -57,6 +57,17 @@ class QuantConfig:
     cls_sigmoid_bits: int = 16
     image_size: int = 640
 
+    def __post_init__(self):
+        if self.model not in _MODEL_SCALES:
+            raise ValueError(f"unknown model {self.model!r}")
+        if not 2 <= self.k <= 8:
+            # The device runtimes carry K-bit activations in int8 (s8 MXU
+            # convs, int8 edge tensors) and the hardware contract is K<=8
+            # weights/activations (reference stage_0.py:7, K=8 default;
+            # utils/save_weights.py bit budgets). K>8 would silently wrap.
+            raise ValueError(f"k={self.k} unsupported: device runtimes "
+                             "require 2 <= K <= 8 (int8 activation paths)")
+
     @property
     def depth(self) -> float:
         return _MODEL_SCALES[self.model]["depth"]

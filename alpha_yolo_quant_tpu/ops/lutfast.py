@@ -54,6 +54,20 @@ class FastLut:
     corrections: Tuple[Tuple[int, int], ...]
     use_gather: bool
     table: jnp.ndarray
+    # Backend the corrections were validated on. Transcendental rounding
+    # differs across backends, so a FastLut is only bit-exact on THIS
+    # backend — build the device plan with the execution backend as the
+    # JAX default (the normal flow), or call for_current_backend() after
+    # switching backends.
+    validated_backend: str = ""
+    kind: str = "sigmoid"
+
+    def for_current_backend(self) -> "FastLut":
+        """Return a FastLut whose corrections are valid on the current
+        default backend (re-validates if the backend changed)."""
+        if jax.default_backend() == self.validated_backend:
+            return self
+        return build_fast_lut(self.lut, self.kind)
 
     def apply(self, x):
         lo, hi = self.lut.lo, self.lut.hi
@@ -96,4 +110,5 @@ def build_fast_lut(lut: Lut, kind: str) -> FastLut:
     use_gather = len(corrections) > MAX_CORRECTIONS
     return FastLut(lut=lut, core=core,
                    corrections=tuple(corrections), use_gather=use_gather,
-                   table=jnp.asarray(lut.values, jnp.int32))
+                   table=jnp.asarray(lut.values, jnp.int32),
+                   validated_backend=jax.default_backend(), kind=kind)

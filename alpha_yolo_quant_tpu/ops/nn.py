@@ -87,13 +87,17 @@ def conv2d_int_parts(x_int, w_int, stride: int = 1, padding: int = 0,
 
 
 def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
-                    wide_input: bool = False, nhwc: bool = False):
+                    parts: int = 1, nhwc: bool = False):
     """Exact integer conv on the native s8 MXU path: int8 x int8 -> int32
     accumulators (always exact — hardware integer accumulation).
 
-    wide_input: the activation can exceed int8 (9-bit residual-sum concats,
-    |x| <= 2*qmax). Split x = clip(x,+-127) + remainder — both int8 — and
-    run two convs (reference concats carry at most one extra bit).
+    parts: ceil(amax/127) for the activation's integer magnitude bound.
+    Chained-residual concat edges (c2f4.cat / c2f6.cat) reach 3*qmax = 381
+    (transform.edge_amax_int), so the split is x = x1 + x2 + ... with
+    x_j = clip(residual, +-127) — each int8-exact — and one conv per part.
+    The caller derives `parts` from the quantizer's per-edge amax bound;
+    anything wider than the declared bound would be a plan bug, asserted
+    there (transform._check_accumulator_bounds).
     """
     dn = ("NHWC", "HWIO", "NHWC") if nhwc else ("NCHW", "OIHW", "NCHW")
 
@@ -103,11 +107,15 @@ def conv2d_s8_exact(x_int, w_i8, stride: int = 1, padding: int = 0,
             padding=[(padding, padding), (padding, padding)],
             dimension_numbers=dn, preferred_element_type=jnp.int32)
 
-    if wide_input:
+    if parts > 1:
         x32 = x_int.astype(jnp.int32)
-        x1 = jnp.clip(x32, -127, 127)
-        x2 = x32 - x1
-        return c(x1.astype(jnp.int8)) + c(x2.astype(jnp.int8))
+        acc = None
+        for _ in range(parts):
+            xj = jnp.clip(x32, -127, 127)
+            x32 = x32 - xj
+            cj = c(xj.astype(jnp.int8))
+            acc = cj if acc is None else acc + cj
+        return acc
     return c(x_int.astype(jnp.int8))
 
 

@@ -46,6 +46,14 @@ class NmsParams:
     plus_one: float = 1.0
 
 
+def quantized_iou_multiplier(iou_thres: float) -> float:
+    """The q_NMS intersection multiplier, DERIVED from the IoU threshold:
+    the reference hard-codes 2.22 = round(1/0.45, 2)
+    (utils/bbox_cls_functions.py:108). Emitting exactly 2.22 at 0.45 keeps
+    keep-set parity; any other threshold derives the same way."""
+    return round(1.0 / float(iou_thres), 2)
+
+
 def q_nms_params(anchor_scale: float, iou_thres: float = 0.45,
                  conf_thres_int: int = 8192,
                  score_scale: float = 32767.0) -> NmsParams:
@@ -92,9 +100,17 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     h = jnp.maximum(0.0, yy2 - yy1 + plus_one)
     inter = w * h
     if quantized:
-        # reference nms_quant: suppress when 2.22*inter > union
-        # (utils/bbox_cls_functions.py:106-110)
-        suppress = inter * 2.22 > (areas[:, None] + areas[None, :] - inter)
+        # reference nms_quant mutates inter IN PLACE before the union
+        # (`inter *= 2.22` — utils/bbox_cls_functions.py:108-110 and the
+        # torch twin stage_8_torch_full_quant.py:280-283), so the union
+        # term uses the SCALED intersection: suppress when
+        #     m*inter > a_i + a_j - m*inter
+        # with m = round(1/iou_thres, 2) (2.22 at the reference's 0.45).
+        # Mirroring the op order keeps f32 parity with the deployed torch
+        # reference; the numpy f64 golden may differ within ~2^-24 of the
+        # boundary (the two references disagree there too).
+        t = inter * jnp.float32(quantized_iou_multiplier(iou_thres))
+        suppress = t > (areas[:, None] + areas[None, :] - t)
     else:
         iou = inter / (areas[:, None] + areas[None, :] - inter)
         suppress = iou > iou_thres

@@ -118,8 +118,11 @@ def _check_accumulator_bounds(node: ConvNode, w_q: np.ndarray,
     if acc_bound.max() >= 2 ** 31:
         raise PlanError(f"{node.name}: int32 accumulator overflow "
                         f"({acc_bound.max():.3g})")
-    # nibble-split partials accumulate |w|*16 per tap in f32 (exact < 2^24)
-    part_bound = wabs * 16
+    # nibble-split partials accumulate |w|*|x part| per tap in f32 (exact
+    # < 2^24); |x>>4| <= (amax>>4)+1 and |x&15| <= 15. int8 inputs give the
+    # historical bound 16; 381-wide concat edges give 24.
+    hi_mag = max((in_amax >> 4) + 1, 15)
+    part_bound = wabs * hi_mag
     if part_bound.max() >= 2 ** 24:
         raise PlanError(f"{node.name}: bf16-split partial overflow "
                         f"({part_bound.max():.3g})")
@@ -184,8 +187,13 @@ def build_quantized_model(graph: Graph, params: Dict,
                 bias_warn(node.name, int(np.abs(b_q).max()))
             _check_accumulator_bounds(node, w_q, b_q, edge_amax[node.src])
             wabs = np.abs(np.int64(w_q).reshape(w_q.shape[0], -1)).sum(1)
+            # single-pass bf16 conv needs (a) the f32 accumulation bound AND
+            # (b) every input exactly representable in bf16 — integers up to
+            # 256 only (8-bit mantissa); chained-residual concat edges reach
+            # 381, where odd values > 256 would round silently.
             bf16_ok = bool((wabs * edge_amax[node.src]
-                            + np.abs(np.int64(b_q))).max() < 2 ** 24)
+                            + np.abs(np.int64(b_q))).max() < 2 ** 24
+                           and edge_amax[node.src] <= 256)
             plan = ConvPlan(node=node, w_q=w_q.astype(np.int32),
                             b_q=b_q.astype(np.int32), in_scale=float(in_s),
                             w_scales=w_scales[:, 0], acc_scale=acc_scale,
@@ -235,10 +243,11 @@ def build_quantized_model(graph: Graph, params: Dict,
             edge_scale[node.dst] = new
             edge_amax[node.dst] = edge_amax[node.src] + edge_amax[node.base]
             n_residuals_seen += 1
-            if cfg.full_quant and n_residuals_seen == 4:
+            if cfg.full_quant and n_residuals_seen == 3:
                 # The reference full-quant pipeline clips ONLY the second
-                # C2F_4 residual sum back to +-int(scale(1,K))
-                # (stage_6_full_quant.py:322).
+                # C2F_4 residual sum (C2F_4_bottle_3_SUMM) back to
+                # +-int(scale(1,K)) (stage_6_full_quant.py:322). That is the
+                # 3rd residual overall: C2F_2 has one, C2F_4 two.
                 bound = int(scale_for(1.0, k))
                 clip_after[idx] = bound
                 edge_amax[node.dst] = bound

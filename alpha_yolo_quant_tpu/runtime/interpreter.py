@@ -38,7 +38,10 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
     """Convert the host plan into a pytree of device arrays (the closure
     constants of the jitted forward). LUTs become validated arithmetic
     recomputations (ops/lutfast.py) — per-element gathers are too slow on
-    TPU. With pallas=True, per-channel flat constants and in-kernel sigmoid
+    TPU. LUT corrections are validated on the CURRENT default backend:
+    call device_plan with the execution backend as the JAX default (a plan
+    built on CPU is not bit-exact on TPU; use FastLut.for_current_backend
+    to re-validate after a backend switch). With pallas=True, per-channel flat constants and in-kernel sigmoid
     corrections for the fused kernels are included."""
     from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
 
@@ -96,6 +99,10 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
     stage-8 runtime quirk of re-deriving a per image
     (stage_8_torch.py:510 with start=False).
     """
+    if k > 8:
+        raise ValueError(f"k={k}: quantized inputs are carried as int8; "
+                         "K > 8 would silently wrap (QuantConfig enforces "
+                         "the same ceiling)")
     qmax = 2 ** (k - 1) - 1
     if per_image_amax:
         a = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
@@ -179,7 +186,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                     env[node.dst] = fused_postconv_plain(hi, lo, c["b_c"])
                 continue
             if use_s8:
-                wide = model.edge_amax_int[node.src] > 127
+                in_amax = model.edge_amax_int[node.src]
+                wide = in_amax > 127
+                s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
                 if fused1x1 and node.kernel == 3 and not wide:
                     kw = dict(qmax=qmax, sig_scale=sig_scale_f,
                               sig_qmax=sig_qmax_f,
@@ -218,7 +227,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                     acc = conv2d_s8_exact(
                         env[node.src],
                         c["w_hwio_i8"] if nhwc else c["w_i8"],
-                        node.stride, node.padding, wide_input=wide,
+                        node.stride, node.padding, parts=s8_parts,
                         nhwc=nhwc) + cshape(c["b"])
             elif nhwc:
                 hi, lo = conv2d_int_parts(env[node.src], c["w_hwio"],

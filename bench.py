@@ -19,7 +19,8 @@ WARMUP = 3
 ITERS = 10
 
 
-def main():
+def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
+         iters=ITERS):
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
@@ -31,16 +32,17 @@ def main():
     from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
     from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
 
-    cfg = QuantConfig(model="yolov8n", k=8, full_quant=True)
+    cfg = QuantConfig(model=model, k=k, full_quant=True,
+                      image_size=image_size)
     graph = build_yolov8_graph(cfg)
     params = init_params(graph, seed=0)
-    metric = "yolov8n_640_int8_e2e"
+    metric = f"{model}_{image_size}_int{k}_e2e"
 
     calib = np.random.default_rng(1).uniform(
         0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
-    model = build_quantized_model(graph, params, max_a, cfg)
-    fn, _ = build_int_pipeline(model, engine="auto")
+    qmodel = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(qmodel, engine=engine)
 
     import jax.numpy as jnp
 
@@ -61,15 +63,15 @@ def main():
 
     step_inner = fn
     images = np.random.default_rng(0).uniform(
-        0, 1, (BATCH, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+        0, 1, (batch, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     images = jax.device_put(images)
 
     float(chained(images, WARMUP))          # compile + warm
     t0 = time.perf_counter()
-    float(chained(images, ITERS))           # host fetch forces completion
+    float(chained(images, iters))           # host fetch forces completion
     dt = time.perf_counter() - t0
 
-    img_s = BATCH * ITERS / dt
+    img_s = batch * iters / dt
     print(json.dumps({
         "metric": metric,
         "value": round(img_s, 2),
@@ -79,4 +81,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov8n")
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--image-size", type=int, default=640)
+    ap.add_argument("--engine", default="auto")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    a = ap.parse_args()
+    main(model=a.model, k=a.k, image_size=a.image_size, engine=a.engine,
+         batch=a.batch, iters=a.iters)

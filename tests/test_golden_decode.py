@@ -45,11 +45,39 @@ def test_full_quant_decode_device_vs_golden():
     got = np.asarray(decode_full_quant(model, plan, outs), np.float64)
     # classes (exact integers) must match exactly
     np.testing.assert_array_equal(got[:, 4:], want[:, 4:])
-    # boxes: integer dfl/anchors -> float32 dist2bbox; the quantized softmax
-    # division can differ by 1 LSB at exact float64 boundaries
-    np.testing.assert_allclose(got[:, :4], want[:, :4], atol=160.0)
-    frac_close = np.mean(np.abs(got[:, :4] - want[:, :4]) < 1e-3)
-    assert frac_close > 0.99
+    # boxes are exact too: the device softmax (127*e)//sum equals the
+    # reference float64 truncation over the ENTIRE reachable (e, sum)
+    # domain (test_dfl_softmax_f64_truncation_equals_integer_floor), and
+    # every downstream value (dfl_q <= 2^15, anchors_q <= 2^15, dist2bbox
+    # sums/halves, *strides <= 32) stays within f32's exact-integer range.
+    np.testing.assert_array_equal(got[:, :4], want[:, :4])
+
+
+def test_dfl_softmax_f64_truncation_equals_integer_floor():
+    """PROOF (by exhaustion) that the reference DFL softmax quantization
+    p = np.int64(e / sum * 127) — float64 divide, float64 multiply,
+    truncate toward zero (stage_6_full_quant.py:731,
+    stage_8_torch_full_quant.py:1205) — equals the integer floor
+    (127*e) // sum used on device, over the ENTIRE reachable domain:
+    e in [0, 127] (exponent-LUT outputs), sum in [127, 2032] (sum of 16
+    LUT outputs; the max-subtracted bin contributes exp(0) -> 127).
+    Therefore the device path is bit-exact, not 1-LSB-approximate."""
+    e = np.arange(0, 128, dtype=np.int64)[:, None]
+    s = np.arange(127, 2033, dtype=np.int64)[None, :]
+    ref = np.int64(np.float64(e) / np.float64(s) * 127.0)
+    exact = (127 * e) // s
+    np.testing.assert_array_equal(ref, exact)
+
+
+def test_exp_lut_top_value_is_127():
+    """The domain proof above needs sum >= 127: the max-subtracted DFL bin
+    hits exponent-LUT index 0 = quantize(exp(0)) = 127, and no LUT output
+    exceeds 127."""
+    from alpha_yolo_quant_tpu.quantize.luts import exponent_lut
+
+    lut = exponent_lut(14.8264799118042, 8)
+    assert int(lut.apply_np(np.asarray([0]))[0]) == 127
+    assert lut.values.max() == 127 and lut.values.min() >= 0
 
 
 def test_partial_decode_device_vs_golden():

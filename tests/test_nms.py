@@ -55,6 +55,81 @@ def test_greedy_mask_matches_reference_nms_quant():
 
 
 @ref_exists
+def test_greedy_mask_matches_reference_nms_quant_dense():
+    """Dense overlapping clusters in the quantized (anchor-scale) domain —
+    exercises the scaled-inter union (`inter *= 2.22` BEFORE the union,
+    utils/bbox_cls_functions.py:108-110). Round 1 subtracted the unscaled
+    intersection, which flips every pair with inter/(a_i+a_j) in
+    (1/4.44, 1/3.22] — guaranteed hit by this distribution."""
+    ref = load_ref("utils.bbox_cls_functions")
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 300
+        centers = rng.uniform(50000, 150000, (5, 2))
+        xy = centers[rng.integers(0, 5, n)] + rng.normal(0, 8000, (n, 2))
+        wh = rng.uniform(20000, 45000, (n, 2))
+        boxes = np.round(np.concatenate((xy, xy + wh), 1))
+        scores = rng.integers(8192, 32768, n).astype(np.float64)
+        want = ref.nms_quant(boxes, scores, 0.45)
+        keep = np.asarray(_greedy_nms_mask(
+            jnp.asarray(boxes, jnp.float32),
+            jnp.asarray(scores, jnp.float32),
+            jnp.ones(n, bool), 0.45, 300, 412.0, True))
+        assert set(np.nonzero(keep)[0].tolist()) == set(int(i) for i in want)
+
+
+def test_quantized_iou_multiplier_derivation():
+    from alpha_yolo_quant_tpu.postprocess.nms import quantized_iou_multiplier
+
+    assert quantized_iou_multiplier(0.45) == 2.22   # the reference constant
+    assert quantized_iou_multiplier(0.5) == 2.0
+    assert quantized_iou_multiplier(0.25) == 4.0
+
+
+def test_q_nms_non_default_iou_threshold():
+    """iou_thres != 0.45 must change the quantized keep-set via the derived
+    multiplier (round 1 silently ignored the parameter). Oracle: a numpy
+    mirror of the reference greedy loop with the derived multiplier."""
+    rng = np.random.default_rng(21)
+    n = 200
+    centers = rng.uniform(50000, 150000, (4, 2))
+    xy = centers[rng.integers(0, 4, n)] + rng.normal(0, 9000, (n, 2))
+    wh = rng.uniform(20000, 45000, (n, 2))
+    boxes = np.round(np.concatenate((xy, xy + wh), 1))
+    scores = rng.integers(8192, 32768, n).astype(np.float64)
+
+    def ref_quant_greedy(dets, sc, mult):
+        x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+        areas = (x2 - x1 + 412) * (y2 - y1 + 412)
+        order = np.argsort(-sc, kind="stable")
+        keep = []
+        while order.size > 0:
+            i = order[0]
+            keep.append(int(i))
+            xx1 = np.maximum(x1[i], x1[order[1:]])
+            yy1 = np.maximum(y1[i], y1[order[1:]])
+            xx2 = np.minimum(x2[i], x2[order[1:]])
+            yy2 = np.minimum(y2[i], y2[order[1:]])
+            inter = (np.maximum(0.0, xx2 - xx1 + 412)
+                     * np.maximum(0.0, yy2 - yy1 + 412)) * mult
+            order = order[np.nonzero(
+                inter <= areas[i] + areas[order[1:]] - inter)[0] + 1]
+        return keep
+
+    keepsets = {}
+    for thr, mult in ((0.3, 3.33), (0.6, 1.67)):
+        want = ref_quant_greedy(boxes, scores, mult)
+        keep = np.asarray(_greedy_nms_mask(
+            jnp.asarray(boxes, jnp.float32),
+            jnp.asarray(scores, jnp.float32),
+            jnp.ones(n, bool), thr, 300, 412.0, True))
+        got = set(np.nonzero(keep)[0].tolist())
+        assert got == set(want)
+        keepsets[thr] = got
+    assert keepsets[0.3] != keepsets[0.6]
+
+
+@ref_exists
 def test_full_coord_parity():
     """End-to-end conf-filter + class-offset NMS vs reference coord."""
     ref = load_ref("utils.bbox_cls_functions")

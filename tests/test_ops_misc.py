@@ -30,7 +30,66 @@ def test_conv_flavors_agree():
     x = jnp.asarray(RNG.integers(-254, 255, (2, 8, 16, 16), dtype=np.int16))
     w = jnp.asarray(RNG.integers(-127, 128, (12, 8, 3, 3), dtype=np.int32))
     want = conv2d_int_exact(x, w, 1, 1)
-    got_s8 = conv2d_s8_exact(x, w.astype(jnp.int8), 1, 1, wide_input=True)
+    got_s8 = conv2d_s8_exact(x, w.astype(jnp.int8), 1, 1, parts=2)
     got_bf = conv2d_bf16_exact(x, w.astype(jnp.int8), 1, 1)
     np.testing.assert_array_equal(np.asarray(got_s8), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(got_bf), np.asarray(want))
+
+
+def _conv_np_i64(x, w, stride, pad):
+    """int64 numpy oracle conv (NCHW/OIHW)."""
+    x = np.asarray(x, np.int64)
+    w = np.asarray(w, np.int64)
+    b, ci, h, ww = x.shape
+    o, _, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    oh = (h + 2 * pad - kh) // stride + 1
+    ow = (ww + 2 * pad - kw) // stride + 1
+    out = np.zeros((b, o, oh, ow), np.int64)
+    for i in range(oh):
+        for j in range(ow):
+            patch = xp[:, :, i * stride:i * stride + kh,
+                       j * stride:j * stride + kw]
+            out[:, :, i, j] = np.einsum("bchw,ochw->bo", patch, w)
+    return out
+
+
+def test_s8_three_part_split_exact_at_381():
+    """Chained-residual concat edges reach 3*qmax = 381 (c2f4.cat /
+    c2f6.cat, transform.edge_amax_int); |x| in (254, 381] overflows a
+    two-part int8 split. The 3-part split must stay exact — checked against
+    an int64 numpy oracle, with the extremes +-381 forced into the input."""
+    x_np = RNG.integers(-381, 382, (2, 8, 12, 12)).astype(np.int32)
+    x_np[0, 0, 0, 0] = 381
+    x_np[0, 1, 0, 0] = -381
+    x_np[1, 2, 3, 3] = 255        # first value outside the 2-part range
+    w_np = RNG.integers(-127, 128, (12, 8, 3, 3)).astype(np.int8)
+    want = _conv_np_i64(x_np, w_np, 1, 1)
+    got3 = conv2d_s8_exact(jnp.asarray(x_np), jnp.asarray(w_np), 1, 1,
+                           parts=3)
+    np.testing.assert_array_equal(np.asarray(got3, np.int64), want)
+    # nibble-split path must also stay exact at 381 (|x>>4| <= 24 in bf16)
+    got_nib = conv2d_int_exact(jnp.asarray(x_np),
+                               jnp.asarray(w_np, jnp.int32), 1, 1)
+    np.testing.assert_array_equal(np.asarray(got_nib, np.int64), want)
+    # and the 2-part split genuinely wraps there (guards the regression)
+    got2 = conv2d_s8_exact(jnp.asarray(x_np), jnp.asarray(w_np), 1, 1,
+                           parts=2)
+    assert not np.array_equal(np.asarray(got2, np.int64), want)
+
+
+def test_fast_lut_backend_tracking():
+    """FastLut corrections are only valid on the backend they were
+    validated on; for_current_backend() is a no-op on the same backend and
+    records where validation ran."""
+    import jax
+
+    from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
+    from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
+
+    lut = sigmoid_lut(7, 8)
+    fl = build_fast_lut(lut, "sigmoid")
+    assert fl.validated_backend == jax.default_backend()
+    assert fl.for_current_backend() is fl
+    idx = jnp.arange(lut.lo, lut.hi + 1, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(fl.apply(idx)), lut.values)

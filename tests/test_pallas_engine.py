@@ -31,18 +31,62 @@ def _setup(size=64, full=False):
     return cfg, model
 
 
-def test_pallas_engine_bit_exact():
-    cfg, model = _setup()
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    plan_x = device_plan(model)
-    plan_p = device_plan(model, pallas=True)
-    want = int_forward(model, plan_x, xq, engine="xla")
-    got = int_forward(model, plan_p, xq, engine="pallas")
+ENGINES = ["pallas", "nhwc", "s8", "s8_nhwc", "fused", "auto"]
+
+
+def _assert_outputs_equal(model, want, got, msg=""):
     for role in model.graph.outputs:
         np.testing.assert_array_equal(
             np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)
+            np.asarray(want[role]).astype(np.int64), err_msg=f"{msg}{role}")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+@pytest.mark.parametrize("k", [8, 4])
+def test_engine_bit_exact(engine, k):
+    """Every engine is bit-identical to the XLA nibble-split interpreter,
+    across bit widths (K=6 is swept in test_loadq)."""
+    cfg = QuantConfig(model="yolov8n", k=k, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=2)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max", k)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), k)
+    needs_pallas = engine in ("pallas", "fused")
+    want = int_forward(model, device_plan(model), xq, engine="xla")
+    got = int_forward(model, device_plan(model, pallas=needs_pallas), xq,
+                      engine=engine)
+    _assert_outputs_equal(model, want, got, msg=f"{engine} k={k} ")
+
+
+def test_engines_exact_with_saturated_concat_edges():
+    """Chained-residual concat edges carrying |x| up to 3*qmax = 381 must
+    stay exact through the s8-based engines (the 3-part int8 split; round-1
+    two-part split wrapped silently for |x| in (254, 381])."""
+    cfg, model = _setup()
+    tamper = dict(model.max_a)
+    graph = model.graph
+    tamper[model.convs["C2F_4_conv_0"].node.out_tap] *= 0.05
+    tamper[model.convs["C2F_6_conv_0"].node.out_tap] *= 0.05
+    params = init_params(graph, seed=2)
+    model = build_quantized_model(graph, params, tamper, cfg)
+    wide_edges = [e for e, a in model.edge_amax_int.items() if a > 254]
+    assert wide_edges, "plan must declare 381-wide edges"
+
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    env = int_forward(model, device_plan(model), xq, keep_env=True)
+    observed = max(int(np.abs(np.asarray(env["__env__"][e])).max())
+                   for e in wide_edges)
+    assert observed > 254, "test data must actually exceed the 2-part range"
+    want = {r: env[r] for r in model.graph.outputs}
+    for engine in ("s8", "auto", "fused", "s8_nhwc"):
+        needs_pallas = engine == "fused"
+        got = int_forward(model, device_plan(model, pallas=needs_pallas),
+                          xq, engine=engine)
+        _assert_outputs_equal(model, want, got, msg=f"{engine} saturated ")
 
 
 def test_pallas_sigma_corrections_small():
@@ -55,69 +99,3 @@ def test_pallas_sigma_corrections_small():
     corr = pallas_sigma_corrections(lut)
     # arithmetic recomputation should agree almost everywhere
     assert len(corr) < 16
-
-
-def test_nhwc_engine_bit_exact():
-    cfg, model = _setup()
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    plan = device_plan(model)
-    want = int_forward(model, plan, xq, engine="xla")
-    got = int_forward(model, plan, xq, engine="nhwc")
-    for role in model.graph.outputs:
-        np.testing.assert_array_equal(
-            np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)
-
-
-def test_s8_engine_bit_exact():
-    cfg, model = _setup()
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    plan = device_plan(model)
-    want = int_forward(model, plan, xq, engine="xla")
-    got = int_forward(model, plan, xq, engine="s8")
-    for role in model.graph.outputs:
-        np.testing.assert_array_equal(
-            np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)
-
-
-def test_s8_nhwc_engine_bit_exact():
-    cfg, model = _setup()
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    plan = device_plan(model)
-    want = int_forward(model, plan, xq, engine="xla")
-    got = int_forward(model, plan, xq, engine="s8_nhwc")
-    for role in model.graph.outputs:
-        np.testing.assert_array_equal(
-            np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)
-
-
-def test_fused_engine_bit_exact():
-    cfg, model = _setup()
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    want = int_forward(model, device_plan(model), xq, engine="xla")
-    got = int_forward(model, device_plan(model, pallas=True), xq,
-                      engine="fused")
-    for role in model.graph.outputs:
-        np.testing.assert_array_equal(
-            np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)
-
-
-def test_auto_engine_bit_exact():
-    cfg, model = _setup()
-    assert any(c.bf16_single_ok for c in model.convs.values())
-    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
-    xq = quantize_input(jnp.asarray(x), 8)
-    plan = device_plan(model)
-    want = int_forward(model, plan, xq, engine="xla")
-    got = int_forward(model, plan, xq, engine="auto")
-    for role in model.graph.outputs:
-        np.testing.assert_array_equal(
-            np.asarray(got[role]).astype(np.int64),
-            np.asarray(want[role]).astype(np.int64), err_msg=role)

@@ -122,15 +122,63 @@ def test_full_quant_head_decode():
                for lvl in ("p3", "p4", "p5")}
     p, dfl_q, cls_sig = _decode_full_quant_np(model, np_outs)
     # classes must match the numpy mirror exactly
-    n3 = np_outs["p3"][1].shape[2] * np_outs["p3"][1].shape[3]
     np.testing.assert_array_equal(
         preds[:, 4:, :].astype(np.int64),
         cls_sig.astype(np.int64))
-    # softmax probabilities: integer (127*e)//sum vs reference float64
-    # truncation can differ by at most 1 LSB at exact boundaries; require
-    # near-total agreement
-    # (dfl_q feeds dist2bbox; compare it directly instead)
-    assert dfl_q.shape == (1, 4, preds.shape[2])
+    # boxes exactly too: the device softmax floor equals the reference
+    # float64 truncation over the whole reachable domain (proof test in
+    # test_golden_decode), and dist2bbox stays in f32-exact integer range
+    from alpha_yolo_quant_tpu.runtime.golden import (
+        _np_dist2bbox, _np_make_anchors,
+    )
+
+    shapes = [(np_outs[l][0].shape[2], np_outs[l][0].shape[3])
+              for l in ("p3", "p4", "p5")]
+    anchors, strides = _np_make_anchors(shapes)
+    anchors_q = np.round(anchors * model.head.anchor_scale)
+    dbox = _np_dist2bbox(np.float64(dfl_q), anchors_q[None]) * strides
+    np.testing.assert_array_equal(preds[:, :4, :].astype(np.float64), dbox)
+
+
+def test_full_quant_residual_clip_at_third_residual():
+    """The reference full-quant pipeline clips EXACTLY ONE residual sum:
+    C2F_4_bottle_3_SUMM, the 3rd residual overall (C2F_2 has one residual,
+    C2F_4 two) — stage_6_full_quant.py:322. Round-1 bug: the clip was
+    applied at the 4th residual (C2F_6_bottle_1)."""
+    cfg, graph, params, model = _setup(full_quant=True)
+    assert len(model.clip_after_residual) == 1
+    idx, bound = next(iter(model.clip_after_residual.items()))
+    node = graph.nodes[idx]
+    assert node.label == "C2F_4_bottle_3"
+    assert bound == int(scale_for(1.0, 8)) == 127
+
+    # drive activations past the bound and check the clip engages there —
+    # and only there (C2F_6 residual sums may exceed the bound freely).
+    # Shrinking the C2F_4 block-input tap makes both residual summands
+    # saturate at +-127, so the sum crosses the bound at many pixels.
+    x = RNG.uniform(0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    tamper = dict(model.max_a)
+    tamper[model.convs["C2F_4_conv_0"].node.out_tap] *= 0.05
+    tamper[model.convs["C2F_6_conv_0"].node.out_tap] *= 0.05
+    model = build_quantized_model(graph, params, tamper, cfg)
+    env = golden_forward(model, x)
+    pre = env[f"{node.label}:rescale"] + env[node.base]
+    assert np.abs(pre).max() > bound, "test did not engage the clip"
+    np.testing.assert_array_equal(env[node.dst],
+                                  np.clip(pre, -bound, bound))
+    from alpha_yolo_quant_tpu.models.graph import ResidualAddNode
+    later = [n for n in graph.nodes[idx + 1:]
+             if isinstance(n, ResidualAddNode)]
+    unclipped = max(int(np.abs(env[n.dst]).max()) for n in later)
+    assert unclipped > bound, "expected an unclipped later residual sum"
+
+    # the interpreter applies the identical clip (full-env parity)
+    plan = device_plan(model)
+    got = int_forward(model, plan, quantize_input(jnp.asarray(x), 8),
+                      keep_env=True)["__env__"]
+    np.testing.assert_array_equal(
+        np.asarray(got[node.dst]).astype(np.int64), env[node.dst])
 
 
 def test_end_to_end_pipelines_run():
@@ -141,6 +189,15 @@ def test_end_to_end_pipelines_run():
             np.float32)
         det, n_det = fn(jnp.asarray(x))
         assert det.shape == (2, 300, 6)
+
+
+def test_k_ceiling_guarded():
+    """K > 8 would silently wrap the int8 device paths — must raise."""
+    with pytest.raises(ValueError, match="[Kk]"):
+        QuantConfig(model="yolov8n", k=9)
+    with pytest.raises(ValueError, match="int8"):
+        quantize_input(jnp.zeros((1, 3, 4, 4), jnp.float32), 16)
+    QuantConfig(model="yolov8n", k=8)  # ceiling itself is fine
 
 
 def test_quantize_input_per_image_flag():
