@@ -97,7 +97,8 @@ def cmd_prepare(args):
 
 def cmd_calibrate(args):
     from alpha_yolo_quant_tpu.quantize.calibrate import (
-        collect_samples, collect_stats, reduce_stats,
+        collect_samples, collect_stats, load_batches, reduce_stats,
+        save_batches,
     )
     from alpha_yolo_quant_tpu.export.artifacts import make_dirs
     from alpha_yolo_quant_tpu.utils.io import write_max_a, write_max_a_all
@@ -108,8 +109,17 @@ def cmd_calibrate(args):
     samples = None
     if cfg.calib_mode.lower() == "min_mae":
         taps = [c.tap for c in graph.convs()]
-        samples = collect_samples(graph, params,
-                                  _calib_batches(args, cfg), taps)
+        # resumable: reuse persisted batches/ dumps when present, else
+        # capture and persist them (reference utils/save_weights.py:13-21)
+        samples = load_batches(args.out, taps)
+        if samples is None:
+            samples = collect_samples(graph, params,
+                                      _calib_batches(args, cfg), taps)
+            make_dirs(args.out)
+            save_batches(args.out, samples)
+            print(f"activation dumps -> {args.out}/batches/")
+        else:
+            print(f"resumed activation dumps from {args.out}/batches/")
     max_a = reduce_stats(records, cfg.calib_mode, cfg.k, samples)
     make_dirs(args.out)
     write_max_a_all(os.path.join(args.out, "results", "max_a_all.txt"),
@@ -151,7 +161,8 @@ def _eval_common(args, step, comment, stage):
     res = evaluate(step, ds, args.batch_size, cfg.image_size,
                    progress=True, prefetch=args.prefetch)
     print(f"mAP50-95: {res.map50_95:.4f} over {res.n_images} images "
-          f"({res.images_per_s:.1f} img/s device)")
+          f"({res.images_per_s:.1f} img/s device, "
+          f"{res.images_per_s_wall:.1f} img/s wall)")
     make_dirs(args.out)
     write_run_result(args.out, res.map50_95, stage, comment)
     return res
@@ -209,6 +220,11 @@ def cmd_memsim(args):
     sim.write_memory_txt(os.path.join(args.out, "results", "memory.txt"))
     sim.write_final_memory(os.path.join(args.out, "results",
                                         "final_memory.txt"))
+    if args.heatmaps:
+        from alpha_yolo_quant_tpu.eval.plots import plot_memory_heatmaps
+
+        n = plot_memory_heatmaps(sim, args.out)
+        print(f"{n} per-layer heatmaps -> {args.out}/memory/")
     print(f"peak occupancy: {sim.peak_cells} cells "
           f"({sim.peak_rows} rows of 8) -> {args.out}/results/")
 
@@ -338,6 +354,8 @@ def main(argv=None):
 
     sp = sub.add_parser("memsim", help="SRAM allocation simulation")
     common(sp, weights=False)
+    sp.add_argument("--heatmaps", action="store_true",
+                    help="emit per-layer occupancy heatmaps into memory/")
     sp.set_defaults(fn=cmd_memsim)
 
     sp = sub.add_parser("demo", help="single-image smoke run")
@@ -357,7 +375,7 @@ def main(argv=None):
     common(sp, weights=False)
     sp.add_argument("--engine", default="auto",
                     choices=["xla", "s8", "s8_nhwc", "nhwc", "auto",
-                             "pallas", "fused"])
+                             "pallas", "fused", "packed"])
     sp.add_argument("--batch", type=int, default=128)
     sp.add_argument("--iters", type=int, default=10)
     sp.set_defaults(fn=cmd_bench)

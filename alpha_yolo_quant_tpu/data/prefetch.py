@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -21,30 +21,62 @@ from alpha_yolo_quant_tpu.data.coco import (
 )
 
 
+def _decode_u8_hwc(path: str, size: int) -> np.ndarray:
+    """Decode+resize to uint8 HWC — the process-pool worker payload: 4x
+    fewer IPC bytes than f32 CHW; the float conversion happens vectorized
+    on the whole batch in the staging thread."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size),
+                                                 Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
 def prefetch_batches(ds: CocoValDataset, batch_size: int, size: int = 640,
                      depth: int = 2, decode_workers: int = 4,
-                     device_put: bool = True
+                     device_put: bool = True, processes: bool = False
                      ) -> Iterator[Tuple[object, List[Optional[CocoSample]]]]:
     """Yield (images, samples) like data.coco.batches, but with image
     decode parallelized and up to `depth` batches staged on device ahead
-    of the consumer."""
+    of the consumer.
+
+    processes: decode in a process pool (sidesteps the GIL entirely for
+    PIL's Python-side work; workers return uint8 HWC so IPC carries 1.2MB
+    per 640 image instead of 4.9MB). Threads remain the default — PIL
+    releases the GIL during JPEG decompression, and processes pay a
+    startup + pickling tax that only wins at high image rates."""
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
 
     def producer():
-        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        if processes:
+            # spawn, not fork: forking a process that already runs JAX/TPU
+            # runtime threads can deadlock in the child
+            import multiprocessing as mp
+
+            pool = ProcessPoolExecutor(max_workers=decode_workers,
+                                       mp_context=mp.get_context("spawn"))
+        else:
+            pool = ThreadPoolExecutor(max_workers=decode_workers)
+        with pool:
             buf_f, buf_s = [], []
 
             def flush():
-                imgs = np.stack([f.result() for f in buf_f])
+                if processes:
+                    u8 = np.stack([f.result() for f in buf_f])  # (B,H,W,3)
+                    imgs = (u8.astype(np.float32) / 255.0).transpose(
+                        0, 3, 1, 2)
+                else:
+                    imgs = np.stack([f.result() for f in buf_f])
                 batch = (jax.device_put(imgs) if device_put else imgs,
                          list(buf_s))
                 q.put(batch)
 
+            fn = _decode_u8_hwc if processes else load_image_square
             for s in ds.samples:
-                buf_f.append(pool.submit(load_image_square, s.path, size))
+                buf_f.append(pool.submit(fn, s.path, size))
                 buf_s.append(s)
                 if len(buf_f) == batch_size:
                     flush()

@@ -28,7 +28,9 @@ class EvalResult:
     map50_95: float
     per_iou: Dict[float, float]
     n_images: int
-    images_per_s: float
+    images_per_s: float          # device-step time only
+    images_per_s_wall: float = 0.0   # host-inclusive: decode+feed+metrics
+    wall_s: float = 0.0
 
 
 def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
@@ -49,6 +51,7 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
     det_rows: List[list] = []
     n_img = 0
     t_dev = 0.0
+    t_wall0 = time.perf_counter()
     if prefetch:
         from alpha_yolo_quant_tpu.data.prefetch import prefetch_batches
 
@@ -74,5 +77,8 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
         print()
     ann, det_arr = to_metric_arrays(ann_rows, det_rows)
     m, per_iou = map50_95(ann, det_arr)
+    wall = time.perf_counter() - t_wall0
     return EvalResult(map50_95=m, per_iou=per_iou, n_images=n_img,
-                      images_per_s=n_img / t_dev if t_dev else 0.0)
+                      images_per_s=n_img / t_dev if t_dev else 0.0,
+                      images_per_s_wall=n_img / wall if wall else 0.0,
+                      wall_s=wall)

@@ -53,6 +53,11 @@ class SramSim:
         self.total_rows = total_cells // columns
         self.segments: List[Segment] = []
         self.trace: List[Tuple[str, int, int, int]] = []
+        # per-op occupancy snapshots for the per-layer heatmaps
+        # (reference utils/mem_ckecker.py:167-174 plot_memory):
+        # (read_name, write_name, ((start, rows), ...))
+        self.snapshots: List[Tuple[str, str, Tuple[Tuple[int, int], ...]]] \
+            = []
         self.peak_rows = 0
         self.oom_events: List[str] = []
 
@@ -111,8 +116,10 @@ class SramSim:
 
     # ---- traced ops ----
     def record(self, name: str, r_row: int, size_rows: int,
-               w_row: int) -> None:
+               w_row: int, read_name: str = "") -> None:
         self.trace.append((name, r_row, size_rows, w_row))
+        self.snapshots.append((read_name, name, tuple(
+            (s.start, s.rows) for s in self.segments)))
 
     def conv(self, read: str, write: str, out_cells: int, conv_type: str,
              place: Optional[int] = None) -> None:
@@ -122,7 +129,7 @@ class SramSim:
             self.free(read)
         else:  # '1x1' and 'split_bottle' keep the input resident
             w_start = self.alloc(write, out_cells, place)
-        self.record(write, r.start, r.rows, w_start)
+        self.record(write, r.start, r.rows, w_start, read_name=read)
 
     def bottle_sum(self, reads: List[str], write: str) -> None:
         """Residual add: in-place on the last summand
@@ -130,7 +137,7 @@ class SramSim:
         tgt = self.find(reads[-1])
         for rd in reads:
             seg = self.find(rd)
-            self.record(write, seg.start, seg.rows, tgt.start)
+            self.record(write, seg.start, seg.rows, tgt.start, read_name=rd)
         self.rename(reads[-1], write)
 
     def gather(self, reads: List[str], write: str, out_cells: int,
@@ -140,7 +147,7 @@ class SramSim:
         w_start = self.alloc(write, out_cells, place)
         for rd in reads:
             seg = self.find(rd)
-            self.record(write, seg.start, seg.rows, w_start)
+            self.record(write, seg.start, seg.rows, w_start, read_name=rd)
             self.free(rd)
 
     # ---- reports ----

@@ -73,91 +73,130 @@ def xywh2xyxy(x):
                       x[..., 0] + dw, x[..., 1] + dh), axis=-1)
 
 
-def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
-                     quantized):
-    """Greedy NMS over score-sorted padded candidates.
+def _suppress_slice(xyxya, xyxya_b, iou_thres, plus_one, quantized):
+    """Pairwise suppress predicate between all candidates (n) and one
+    block (blk): returns (n, blk) bf16 0/1 (exact — the mask is boolean).
 
-    boxes: (N,4) xyxy (already class-offset), SORTED by descending score;
-    scores: (N,); valid: (N,) bool. Returns keep mask (N,) with at most
-    max_det True — identical to sequential greedy NMS.
-
-    Implementation: greedy NMS is the unique fixpoint of
-        keep_i = valid_i AND no higher-ranked kept box suppresses i,
-    computed by Jacobi iteration (one MXU matvec per step). A node settles
-    once all its higher-ranked suppressors have settled, so the iteration
-    converges within the suppression-DAG depth — a handful of steps on real
-    detections — instead of the max_det-step sequential scan.
-    """
-    n = boxes.shape[0]
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (x2 - x1 + plus_one) * (y2 - y1 + plus_one)
-
-    xx1 = jnp.maximum(x1[:, None], x1[None, :])
-    yy1 = jnp.maximum(y1[:, None], y1[None, :])
-    xx2 = jnp.minimum(x2[:, None], x2[None, :])
-    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    Quantized mode mirrors the reference op order: nms_quant mutates inter
+    IN PLACE before the union (`inter *= 2.22`,
+    utils/bbox_cls_functions.py:108-110 and the torch twin
+    stage_8_torch_full_quant.py:280-283), so the union term uses the
+    SCALED intersection: suppress when  m*inter > a_i + a_j - m*inter
+    with m = round(1/iou_thres, 2) (2.22 at the reference's 0.45).
+    f32 matches the deployed torch reference; the numpy f64 golden may
+    differ within ~2^-24 of the boundary (the references disagree there
+    too)."""
+    x1, y1, x2, y2, areas = xyxya
+    bx1, by1, bx2, by2, bareas = xyxya_b
+    xx1 = jnp.maximum(x1[:, None], bx1[None, :])
+    yy1 = jnp.maximum(y1[:, None], by1[None, :])
+    xx2 = jnp.minimum(x2[:, None], bx2[None, :])
+    yy2 = jnp.minimum(y2[:, None], by2[None, :])
     w = jnp.maximum(0.0, xx2 - xx1 + plus_one)
     h = jnp.maximum(0.0, yy2 - yy1 + plus_one)
     inter = w * h
+    asum = areas[:, None] + bareas[None, :]
     if quantized:
-        # reference nms_quant mutates inter IN PLACE before the union
-        # (`inter *= 2.22` — utils/bbox_cls_functions.py:108-110 and the
-        # torch twin stage_8_torch_full_quant.py:280-283), so the union
-        # term uses the SCALED intersection: suppress when
-        #     m*inter > a_i + a_j - m*inter
-        # with m = round(1/iou_thres, 2) (2.22 at the reference's 0.45).
-        # Mirroring the op order keeps f32 parity with the deployed torch
-        # reference; the numpy f64 golden may differ within ~2^-24 of the
-        # boundary (the two references disagree there too).
         t = inter * jnp.float32(quantized_iou_multiplier(iou_thres))
-        suppress = t > (areas[:, None] + areas[None, :] - t)
+        sup = t > asum - t
     else:
-        iou = inter / (areas[:, None] + areas[None, :] - inter)
-        suppress = iou > iou_thres
+        sup = inter / (asum - inter) > iou_thres
+    return sup.astype(jnp.bfloat16)
 
-    # rank-permute so blocks partition by descending score (stable argsort
-    # breaks ties by lower index — the same convention as the reference's
-    # ordering); non_max_suppression already passes sorted candidates, so
-    # this is the identity there.
-    perm = jnp.argsort(-scores, stable=True)
-    suppress = suppress[perm][:, perm]
-    valid = valid[perm]
-    t_mat = (suppress & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :])
-             & valid[:, None]).astype(jnp.float32)
 
-    # Blocked greedy: process candidates in score order in blocks. Each
-    # block is first pruned by everything already kept (one matvec), then
-    # its internal suppression DAG is resolved by Jacobi iteration — now
-    # bounded by the block size instead of the GLOBAL chain depth (dense
-    # candidate sets can have ~N-deep chains; measured 85ms -> bounded).
+def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
+                     quantized, presorted: bool = False):
+    """Greedy NMS over score-sorted padded candidates.
+
+    boxes: (N,4) xyxy (already class-offset); scores: (N,); valid: (N,)
+    bool. Returns keep mask (N,) with at most max_det True — identical to
+    sequential greedy NMS. presorted=True promises descending-score order
+    with invalid candidates at the END (what _select_candidates emits) and
+    skips the rank permutation (two N^2 gathers).
+
+    Implementation: blocked greedy. Candidates are processed in score
+    order in 128-wide blocks: each block is first pruned by everything
+    already kept (one matvec on the MXU), then its internal suppression
+    DAG is resolved by Jacobi iteration — bounded by the block size
+    instead of the GLOBAL chain depth (dense candidate sets have ~N-deep
+    chains; measured 85ms unblocked -> bounded). The suppress matrix is
+    built one (N, 128) slice at a time inside the loop — the full (N, N)
+    matrix is never materialized — and the loop stops after the last
+    block containing a valid candidate (valid candidates form a prefix
+    when presorted; conf-threshold survivors are typically a small
+    fraction of pre_topk)."""
+    n = boxes.shape[0]
+    if not presorted:
+        perm = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), stable=True)
+        boxes = boxes[perm]
+        valid = valid[perm]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + plus_one) * (y2 - y1 + plus_one)
+    xyxya = (x1, y1, x2, y2, areas)
+
     blk = 128
-    kept = jnp.zeros((n,), jnp.float32)
-    for start in range(0, n, blk):
-        end = min(start + blk, n)
-        size = end - start
-        pre_kill = (kept @ t_mat[:, start:end]) > 0.5
-        v_b = valid[start:end] & ~pre_kill
-        t_b = t_mat[start:end, start:end]
+    n_blocks = -(-n // blk)
+    n_pad = n_blocks * blk
+
+    def pad(v):
+        return jnp.pad(v, (0, n_pad - v.shape[0]))
+
+    x1p, y1p, x2p, y2p, areasp = (pad(v) for v in xyxya)
+    xyxya = (x1p, y1p, x2p, y2p, areasp)   # padded rows are never kept
+    validp = pad(valid)
+    tri = (jnp.arange(blk)[:, None] < jnp.arange(blk)[None, :]).astype(
+        jnp.bfloat16)
+    # blocks holding at least one valid candidate (a prefix when presorted)
+    blocks_needed = jnp.max(jnp.where(
+        validp, jnp.arange(n_pad, dtype=jnp.int32) // blk + 1, 0))
+
+    def blk_body(carry):
+        bi, kept = carry
+        start = bi * blk
+
+        def dsl(v):
+            return jax.lax.dynamic_slice(v, (start,), (blk,))
+
+        xyxya_b = (dsl(x1p), dsl(y1p), dsl(x2p), dsl(y2p), dsl(areasp))
+        s_col = _suppress_slice(xyxya, xyxya_b, iou_thres, plus_one,
+                                quantized)                       # (n, blk)
+        # prune by everything already kept: kept rows all rank before this
+        # block, so no explicit rank test is needed
+        pre_kill = (kept.astype(jnp.bfloat16) @ s_col) > 0.5
+        v_b = dsl(validp)[:blk] & ~pre_kill
+        # block-internal DAG: rows of this block vs its own columns
+        s_bb = jax.lax.dynamic_slice(s_col, (start, 0), (blk, blk))
+        t_b = s_bb * tri
 
         def cond(c):
             k, prev, it = c
-            return (it < size) & jnp.any(k != prev)
+            return (it < blk) & jnp.any(k != prev)
 
         def body(c):
             k, _, it = c
-            killed = (k.astype(jnp.float32) @ t_b) > 0.5
+            killed = (k.astype(jnp.bfloat16) @ t_b) > 0.5
             return v_b & ~killed, k, it + 1
 
         k_b, _, _ = jax.lax.while_loop(
             cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
-        kept = kept.at[start:end].set(k_b.astype(jnp.float32))
-    keep_sorted = kept > 0.5
+        kept = jax.lax.dynamic_update_slice(
+            kept, k_b.astype(jnp.float32), (start,))
+        return bi + 1, kept
+
+    # derive the carry init from the data (areasp*0) so its varying-axis
+    # type matches the body output under shard_map
+    _, kept = jax.lax.while_loop(
+        lambda c: c[0] < blocks_needed, blk_body,
+        (jnp.int32(0), areasp * jnp.float32(0)))
+    keep_sorted = kept[:n] > 0.5
     # truncate the survivor list to max_det in score order
     # (reference coord: i = i[:max_det])
     within = jnp.cumsum(keep_sorted.astype(jnp.int32)) <= max_det
     keep_sorted = keep_sorted & within
-    # scatter back to the caller's candidate order
-    return jnp.zeros((n,), bool).at[perm].set(keep_sorted)
+    if not presorted:
+        # scatter back to the caller's candidate order
+        return jnp.zeros((n,), bool).at[perm].set(keep_sorted)
+    return keep_sorted
 
 
 def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
@@ -202,8 +241,11 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
             pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
+        # _select_candidates returns descending-score candidates with the
+        # invalid ones at the end — the presorted fast path applies
         keep = _greedy_nms_mask(shifted, conf, valid, p.iou_thres,
-                                p.max_det, p.plus_one, p.quantized)
+                                p.max_det, p.plus_one, p.quantized,
+                                presorted=True)
         # compact kept rows to the front, at most max_det of them
         order = jnp.argsort(~keep, stable=True)   # kept first, score order
         keep_sorted = keep[order]

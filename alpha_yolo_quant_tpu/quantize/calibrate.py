@@ -92,6 +92,53 @@ def collect_samples(graph: Graph, params: Dict, batches: Iterable[np.ndarray],
     return {t: np.concatenate(v, 0) for t, v in out.items()}
 
 
+def save_batches(out_dir: str, samples: Dict[str, np.ndarray]) -> None:
+    """Persist per-image activation dumps in the reference's artifact
+    format: {out}/batches/{tap}/b_{i}.pickle, gzip compresslevel=3,
+    pickle protocol 4 (reference utils/save_weights.py:13-21 save_batch).
+    Each file holds one image's (1, C, H, W) pre-activation tensor."""
+    import gzip
+    import os
+    import pickle
+
+    for tap, arr in samples.items():
+        d = os.path.join(out_dir, "batches", tap)
+        os.makedirs(d, exist_ok=True)
+        for i in range(arr.shape[0]):
+            with gzip.open(os.path.join(d, f"b_{i}.pickle"), "wb",
+                           compresslevel=3) as f:
+                pickle.dump(arr[i:i + 1], f, protocol=4)
+
+
+def load_batches(out_dir: str, taps: List[str]
+                 ) -> Optional[Dict[str, np.ndarray]]:
+    """Reload activation dumps for a RESUMABLE min_mae reduction (the
+    reference re-reads them in stage 5: utils/stage_5_common_func.py:41-42
+    load_from_file). Returns None if any tap's dump directory is missing
+    or empty."""
+    import gzip
+    import os
+    import pickle
+    import re
+
+    out: Dict[str, np.ndarray] = {}
+    for tap in taps:
+        d = os.path.join(out_dir, "batches", tap)
+        if not os.path.isdir(d):
+            return None
+        files = sorted((f for f in os.listdir(d)
+                        if re.fullmatch(r"b_\d+\.pickle", f)),
+                       key=lambda f: int(f[2:-7]))
+        if not files:
+            return None
+        parts = []
+        for f in files:
+            with gzip.open(os.path.join(d, f), "rb") as fh:
+                parts.append(np.asarray(pickle.load(fh)))
+        out[tap] = np.concatenate(parts, 0)
+    return out
+
+
 def _sample_std(v: np.ndarray) -> float:
     return float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
 

@@ -112,6 +112,39 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
     return jnp.round(jnp.clip(x, -a, a) * s).astype(jnp.int8)
 
 
+def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
+    """Memoized packed-conv constants for an eligible conv (None if the
+    shape doesn't pack: channel-pad mismatch or width indivisible)."""
+    pk = plan.setdefault("packed", {})
+    if node.name in pk:
+        return pk[node.name]
+    c = model.convs[node.name]
+    cin_real, w_in = int(x_shape[1]), int(x_shape[3])
+    try:
+        pplan = _pc.make_plan(cin_real, c.w_q.shape[0], 1, w_in)
+    except ValueError:
+        pk[node.name] = None
+        return None
+    w_q = np.int64(c.w_q)
+    if node.kernel == 1:
+        w33 = np.zeros(w_q.shape[:2] + (3, 3), np.int64)
+        w33[:, :, 1, 1] = w_q[:, :, 0, 0]
+        w_q = w33
+    entry = {
+        "plan": pplan,
+        "mats": _pc.packed_weight_mats(w_q, pplan),
+        "bias": _pc.pack_lane_const(np.int64(c.b_q).reshape(-1), pplan),
+        "r1": _pc.pack_lane_const(np.int64(c.r1).reshape(-1), pplan),
+        "s1": _pc.pack_lane_const(np.int64(c.s1).reshape(-1), pplan,
+                                  fill=1),
+        "r2": _pc.pack_lane_const(np.int64(c.r2).reshape(-1), pplan),
+        "s2": _pc.pack_lane_const(np.int64(c.s2).reshape(-1), pplan,
+                                  fill=1),
+    }
+    pk[node.name] = entry
+    return entry
+
+
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla") -> Dict[str, jnp.ndarray]:
@@ -131,14 +164,20 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
       's8_nhwc' s8 convs in NHWC
       'pallas'  fused post-conv Pallas kernels
       'fused'   Pallas matmul kernels for 1x1 + patches-based 3x3
+      'packed'  auto-flavor base + lane-packed banded Mosaic convs for the
+                narrow (C<=64) stride-1 layers (runtime/packed_conv.py)
     All engines produce bit-identical results (tested)."""
     cfg = model.cfg
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
     use_pallas = engine == "pallas" and not keep_env
-    use_s8 = engine in ("s8", "s8_nhwc", "fused", "auto") and not keep_env
-    auto_flavor = engine == "auto" and not keep_env
+    use_s8 = engine in ("s8", "s8_nhwc", "fused", "auto", "packed") \
+        and not keep_env
+    auto_flavor = engine in ("auto", "packed") and not keep_env
+    use_packed = engine == "packed" and not keep_env
     fused1x1 = engine == "fused" and not keep_env
+    if use_packed:
+        from alpha_yolo_quant_tpu.runtime import packed_conv as _pc
     if use_s8:
         from alpha_yolo_quant_tpu.ops.nn import (
             conv2d_bf16_exact, conv2d_s8_exact,
@@ -189,6 +228,25 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 in_amax = model.edge_amax_int[node.src]
                 wide = in_amax > 127
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
+                if use_packed and node.silu and node.stride == 1 \
+                        and node.kernel in (1, 3) and not wide:
+                    entry = _packed_entry(model, plan, node,
+                                          env[node.src].shape, _pc)
+                    if entry is not None:
+                        pp = entry["plan"]
+                        h_in = env[node.src].shape[2]
+                        slab = _pc.pack_tensor_jnp(env[node.src], pp)
+                        out_slab = _pc.packed_conv_slab(
+                            slab, entry["mats"], entry["bias"],
+                            entry["r1"], entry["s1"], entry["r2"],
+                            entry["s2"], pp, h_in, qmax=qmax,
+                            sig_scale=sig_scale_f, sig_qmax=sig_qmax_f,
+                            corrections=plan["pallas_sigma_corrections"],
+                            bigshift=model.convs[node.name].bigshift_ok,
+                            silu=True)
+                        env[node.dst] = _pc.unpack_tensor_jnp(out_slab, pp,
+                                                              h_in)
+                        continue
                 if fused1x1 and node.kernel == 3 and not wide:
                     kw = dict(qmax=qmax, sig_scale=sig_scale_f,
                               sig_qmax=sig_qmax_f,
@@ -407,7 +465,8 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         NmsParams, non_max_suppression, q_nms_params,
     )
 
-    plan = device_plan(model, pallas=engine in ("pallas", "fused"))
+    plan = device_plan(model, pallas=engine in ("pallas", "fused",
+                                                "packed"))
     k = model.cfg.k
     full = model.cfg.full_quant
     score_map = None

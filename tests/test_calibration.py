@@ -52,3 +52,55 @@ def test_min_mae_picks_low_bias_scale():
 def test_min_mae_requires_samples():
     with pytest.raises(ValueError):
         reduce_stats({"x": [1.0, 2.0]}, "min_mae")
+
+
+def test_batches_artifact_roundtrip(tmp_path):
+    """batches/{tap}/b_{i}.pickle dumps: reference format (gzip level 3,
+    protocol-4 pickle of the per-image tensor — utils/save_weights.py:
+    13-21) and exact reload for resumable min_mae."""
+    import gzip
+    import os
+    import pickle
+
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        load_batches, save_batches,
+    )
+
+    rng = np.random.default_rng(3)
+    samples = {"conv_p1": rng.normal(0, 1, (3, 4, 8, 8)).astype(np.float32),
+               "conv_p2": rng.normal(0, 2, (3, 6, 4, 4)).astype(np.float32)}
+    out = str(tmp_path)
+    save_batches(out, samples)
+    # file layout + payload format
+    f0 = os.path.join(out, "batches", "conv_p1", "b_0.pickle")
+    assert os.path.exists(f0)
+    with open(f0, "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"          # gzip magic
+    with gzip.open(f0, "rb") as fh:
+        payload = fh.read()
+    assert payload[:2] == b"\x80\x04"             # pickle protocol 4
+    arr = pickle.loads(payload)
+    np.testing.assert_array_equal(arr, samples["conv_p1"][0:1])
+    # exact round trip
+    loaded = load_batches(out, ["conv_p1", "conv_p2"])
+    for tap in samples:
+        np.testing.assert_array_equal(loaded[tap], samples[tap])
+    # missing tap -> None (caller falls back to capture)
+    assert load_batches(out, ["conv_p1", "nope"]) is None
+
+
+def test_min_mae_resumes_from_batches(tmp_path):
+    """reduce_stats(min_mae) over reloaded dumps equals the in-memory
+    result bit-for-bit."""
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        load_batches, reduce_stats, save_batches,
+    )
+
+    rng = np.random.default_rng(5)
+    samples = {"t": rng.normal(0, 3, (6, 2, 4, 4)).astype(np.float32)}
+    records = {"t": np.abs(samples["t"]).max(axis=(1, 2, 3)).tolist()}
+    want = reduce_stats(records, "min_mae", 8, samples)
+    save_batches(str(tmp_path), samples)
+    got = reduce_stats(records, "min_mae", 8,
+                       load_batches(str(tmp_path), ["t"]))
+    assert got == want

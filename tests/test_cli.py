@@ -76,3 +76,70 @@ def test_eval_float_on_synthetic_coco(art, tmp_path):
               "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
     assert os.path.exists(os.path.join(art, "results",
                                        "ORIG_MODEL_MAP.txt"))
+
+
+def test_prepare_from_synthetic_torch_checkpoint(tmp_path):
+    """End-to-end validation of the real-checkpoint path WITHOUT real
+    weights (this image has no yolov8n.pt): a synthetic torch-format
+    OrderedDict with the ultralytics tensor ORDER (the remap is purely
+    positional — reference stage_1.py:771-783) is saved with torch.save,
+    loaded through `prepare --checkpoint`, and driven through
+    calibrate -> quantize -> eval-int8. Every value must land on the right
+    slot: the fused params are compared tensor-for-tensor against
+    fuse_batchnorm() of the same raw values."""
+    import collections
+
+    import torch
+
+    from alpha_yolo_quant_tpu.config import QuantConfig
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+    from alpha_yolo_quant_tpu.models.params import (
+        fuse_batchnorm, init_raw_params, raw_param_slots,
+    )
+    from alpha_yolo_quant_tpu.utils.params_io import load_params
+
+    cfg = QuantConfig(model="yolov8n", image_size=64)
+    graph = build_yolov8_graph(cfg)
+    raw = init_raw_params(graph, seed=5)
+    slots = raw_param_slots(graph)
+    # flatten in slot order under ultralytics-style opaque key names
+    sd = collections.OrderedDict()
+    i = 0
+    for key, fields in slots:
+        for f in fields:
+            sd[f"model.model.{i}.whatever"] = torch.from_numpy(
+                np.ascontiguousarray(raw[key][f]))
+            i += 1
+    assert len(sd) == 355          # the ultralytics yolov8n tensor count
+    ckpt = tmp_path / "synthetic_yolov8n.pt"
+    torch.save(sd, str(ckpt))
+
+    out = str(tmp_path / "8_nano")
+    cli.main(["prepare", "--out", out, "--image-size", "64",
+              "--checkpoint", str(ckpt)])
+    fused_path = os.path.join(out, "results", "weights_batchnf.npz")
+    loaded = load_params(fused_path)
+    want = fuse_batchnorm(graph, raw)
+    assert set(loaded.keys()) == set(want.keys())
+    for key in want:
+        for f in want[key]:
+            np.testing.assert_array_equal(loaded[key][f], want[key][f],
+                                          err_msg=f"{key}.{f}")
+
+    # the rest of the stage flow must run first-try on the loaded params
+    cli.main(["calibrate", "--out", out, "--weights", fused_path,
+              "--image-size", "64", "--batch-size", "2", "--limit", "4"])
+    ma = os.path.join(out, "results", "max_a.txt")
+    assert os.path.exists(ma)
+    cli.main(["quantize", "--out", out, "--weights", fused_path,
+              "--max-a", ma, "--image-size", "64"])
+    assert os.path.exists(os.path.join(out, "results",
+                                       "QUANT_WEIGHTS_8.pickle"))
+    from tests_synth import write_synthetic_coco
+
+    img_dir, ann = write_synthetic_coco(tmp_path, n_images=4)
+    cli.main(["eval-int8", "--out", out, "--weights", fused_path,
+              "--max-a", ma, "--image-size", "64", "--coco-images", img_dir,
+              "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
+    assert os.path.exists(os.path.join(out, "results", "runs_val",
+                                       "results.txt"))

@@ -57,3 +57,22 @@ def test_simulate_respects_multi_consumer_lifetimes():
     g = build_yolov8_graph(QuantConfig(model="yolov8n"))
     sim = simulate(g, image_size=320)           # smaller, still full graph
     assert sim.oom_events == []
+
+
+def test_memory_heatmaps(tmp_path):
+    """Per-layer occupancy heatmaps (reference mem_ckecker.plot_memory
+    analog): one PNG per traced op under memory/."""
+    import os
+
+    from alpha_yolo_quant_tpu.config import QuantConfig
+    from alpha_yolo_quant_tpu.eval.plots import plot_memory_heatmaps
+    from alpha_yolo_quant_tpu.hwsim.sram import simulate
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+
+    graph = build_yolov8_graph(QuantConfig(model="yolov8n", image_size=64))
+    sim = simulate(graph, 64)
+    assert len(sim.snapshots) == len(sim.trace)
+    n = plot_memory_heatmaps(sim, str(tmp_path), limit=5)
+    assert n == 5
+    pngs = os.listdir(os.path.join(str(tmp_path), "memory"))
+    assert len(pngs) >= 1 and all(p.endswith(".png") for p in pngs)
