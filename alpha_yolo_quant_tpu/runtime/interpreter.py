@@ -130,16 +130,21 @@ def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
         w33 = np.zeros(w_q.shape[:2] + (3, 3), np.int64)
         w33[:, :, 1, 1] = w_q[:, :, 0, 0]
         w_q = w33
+    cout = w_q.shape[0]
+
+    def lane_of(v, fill=0):
+        arr = (np.zeros(cout, np.int64) + fill if v is None
+               else np.int64(v).reshape(-1))
+        return _pc.pack_lane_const(arr, pplan, fill=fill)
+
     entry = {
         "plan": pplan,
         "mats": _pc.packed_weight_mats(w_q, pplan),
-        "bias": _pc.pack_lane_const(np.int64(c.b_q).reshape(-1), pplan),
-        "r1": _pc.pack_lane_const(np.int64(c.r1).reshape(-1), pplan),
-        "s1": _pc.pack_lane_const(np.int64(c.s1).reshape(-1), pplan,
-                                  fill=1),
-        "r2": _pc.pack_lane_const(np.int64(c.r2).reshape(-1), pplan),
-        "s2": _pc.pack_lane_const(np.int64(c.s2).reshape(-1), pplan,
-                                  fill=1),
+        "bias": lane_of(np.int64(c.b_q).reshape(-1)),
+        "r1": lane_of(c.r1),
+        "s1": lane_of(c.s1, fill=1),
+        "r2": lane_of(c.r2),
+        "s2": lane_of(c.s2, fill=1),
     }
     pk[node.name] = entry
     return entry
@@ -207,6 +212,10 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         return t.reshape(1, 1, 1, -1) if nhwc else t
 
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
+    # packed-slab residency: edge -> (slab, (cin_pad, w, h)) so adjacent
+    # packed convs chain without unpack->repack; the NCHW unpack is still
+    # traced into env and DCE'd by XLA when nothing consumes it
+    slab_env: Dict[str, tuple] = {}
 
     for idx, node in enumerate(model.graph.nodes):
         if isinstance(node, ConvNode):
@@ -228,14 +237,26 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 in_amax = model.edge_amax_int[node.src]
                 wide = in_amax > 127
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
-                if use_packed and node.silu and node.stride == 1 \
-                        and node.kernel in (1, 3) and not wide:
+                if use_packed and node.stride == 1 \
+                        and node.kernel in (1, 3) and in_amax <= 254:
                     entry = _packed_entry(model, plan, node,
                                           env[node.src].shape, _pc)
                     if entry is not None:
                         pp = entry["plan"]
                         h_in = env[node.src].shape[2]
-                        slab = _pc.pack_tensor_jnp(env[node.src], pp)
+                        slab2 = None
+                        cached = slab_env.get(node.src)
+                        if (not wide and cached is not None
+                                and cached[1] == (pp.cin_pad, pp.w_in,
+                                                  h_in)):
+                            slab = cached[0]
+                        elif wide:   # 9-bit residual input: 2-part split
+                            x32 = env[node.src].astype(jnp.int32)
+                            x1 = jnp.clip(x32, -127, 127)
+                            slab = _pc.pack_tensor_jnp(x1, pp)
+                            slab2 = _pc.pack_tensor_jnp(x32 - x1, pp)
+                        else:
+                            slab = _pc.pack_tensor_jnp(env[node.src], pp)
                         out_slab = _pc.packed_conv_slab(
                             slab, entry["mats"], entry["bias"],
                             entry["r1"], entry["s1"], entry["r2"],
@@ -243,7 +264,10 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                             sig_scale=sig_scale_f, sig_qmax=sig_qmax_f,
                             corrections=plan["pallas_sigma_corrections"],
                             bigshift=model.convs[node.name].bigshift_ok,
-                            silu=True)
+                            silu=node.silu, x_slab2=slab2)
+                        if node.silu:
+                            slab_env[node.dst] = (
+                                out_slab, (pp.cout_pad, pp.w_out, h_in))
                         env[node.dst] = _pc.unpack_tensor_jnp(out_slab, pp,
                                                               h_in)
                         continue

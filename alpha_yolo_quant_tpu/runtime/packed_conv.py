@@ -241,33 +241,50 @@ def _epilogue(acc, r1, s1, r2, s2, *, qmax, sig_scale, sig_qmax,
     return req(acc, sigma * r2, s2, qmax)
 
 
-def _packed_kernel(x_ref, w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref,
-                   out_ref, *, taps, m, gp2, r_out_ext, qmax, sig_scale,
-                   sig_qmax, corrections, bigshift, silu):
+def _packed_kernel(*refs, taps, m, gp2, r_out_ext, qmax, sig_scale,
+                   sig_qmax, corrections, bigshift, silu, row_chunk,
+                   two_part):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    acc = None
-    for t, base in taps:
-        xs = x_ref[0, pl.ds(base, m), :]
-        d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
-                    preferred_element_type=jnp.int32)
-        acc = d if acc is None else acc + d
-    acc = acc + b_ref[:]
-    out = _epilogue(acc, r1_ref[:], s1_ref[:], r2_ref[:], s2_ref[:],
-                    qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
-                    corrections=corrections, bigshift=bigshift, silu=silu)
-    # zero the interleaved pad groups (u = 0 or G+1) and cast
-    u = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % gp2
-    ok = (u >= 1) & (u <= gp2 - 2)
+    if two_part:
+        (x_ref, x2_ref, w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref,
+         out_ref) = refs
+    else:
+        (x_ref, w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref,
+         out_ref) = refs
+        x2_ref = None
     dt = out_ref.dtype
-    out = jnp.where(ok, out, 0).astype(dt)
     head = FRONT_PAD + gp2
     out_ref[0, pl.ds(0, head), :] = jnp.zeros((head, 128), dt)
-    out_ref[0, pl.ds(head, m), :] = out
     tail = r_out_ext - head - m
     out_ref[0, pl.ds(head + m, tail), :] = jnp.zeros((tail, 128), dt)
+    # static row chunks bound the int32 accumulator's VMEM footprint (the
+    # whole-slab accumulator at 320x320 is 6.9MB and fails to compile)
+    for q0 in range(0, m, row_chunk):
+        rows = min(row_chunk, m - q0)
+        acc = None
+        for t, base in taps:
+            xs = x_ref[0, pl.ds(base + q0, rows), :]
+            d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
+                        preferred_element_type=jnp.int32)
+            if x2_ref is not None:
+                xs2 = x2_ref[0, pl.ds(base + q0, rows), :]
+                d = d + jnp.dot(xs2, w_ref[pl.ds(t * 128, 128), :],
+                                preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        acc = acc + b_ref[:]
+        out = _epilogue(acc, r1_ref[:], s1_ref[:], r2_ref[:], s2_ref[:],
+                        qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
+                        corrections=corrections, bigshift=bigshift,
+                        silu=silu)
+        # zero the interleaved pad groups (u = 0 or G+1) and cast
+        u = q0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        u = u % gp2
+        ok = (u >= 1) & (u <= gp2 - 2)
+        out_ref[0, pl.ds(head + q0, rows), :] = \
+            jnp.where(ok, out, 0).astype(dt)
 
 
 def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
@@ -276,9 +293,15 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
                      sig_qmax: float = 127.0,
                      corrections: Tuple[Tuple[int, int], ...] = (),
                      bigshift: bool = False, silu: bool = True,
-                     interpret: Optional[bool] = None):
+                     interpret: Optional[bool] = None,
+                     row_chunk: int = 4096, x_slab2=None):
     """x_slab: (B, R_in_ext, 128) int8 extended slab; mats_i8 (3,3,128,128).
-    Returns the OUTPUT extended slab (B, R_out_ext, 128) int8 (stride 1)."""
+    Returns the OUTPUT extended slab (B, R_out_ext, 128) int8 (stride 1).
+
+    x_slab2: optional second int8 slab for 9-bit (wide) inputs — the
+    chained-residual concat edges reach 3*qmax (ops/nn.py
+    conv2d_s8_exact parts): x = x1 + x2 with x1 = clip(x, +-127),
+    each conv'd separately, summed in the int32 accumulator (exact)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -315,6 +338,12 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
             d = jnp.einsum("brk,kn->brn", xs.astype(jnp.int8),
                            jnp.asarray(wlist[t]),
                            preferred_element_type=jnp.int32)
+            if x_slab2 is not None:
+                d = d + jnp.einsum(
+                    "brk,kn->brn",
+                    x_slab2[:, base:base + m, :].astype(jnp.int8),
+                    jnp.asarray(wlist[t]),
+                    preferred_element_type=jnp.int32)
             acc = d if acc is None else acc + d
         acc = acc + jnp.asarray(bias_lane, jnp.int32).reshape(1, 1, 128)
         out = _epilogue(acc, lane(r1_lane)[None], lane(s1_lane)[None],
@@ -335,21 +364,29 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
         _packed_kernel, taps=tuple(taps), m=m, gp2=gp2,
         r_out_ext=r_out_ext, qmax=qmax, sig_scale=sig_scale,
         sig_qmax=sig_qmax, corrections=tuple(corrections),
-        bigshift=bigshift, silu=silu)
+        bigshift=bigshift, silu=silu,
+        row_chunk=-(-min(row_chunk, m) // gp2) * gp2,
+        two_part=x_slab2 is not None)
     b = x_slab.shape[0]
+    x_specs = [pl.BlockSpec((1, r_in_ext, 128), lambda i: (i, 0, 0))]
+    x_ops = [x_slab]
+    if x_slab2 is not None:
+        x_specs.append(pl.BlockSpec((1, r_in_ext, 128),
+                                    lambda i: (i, 0, 0)))
+        x_ops.append(x_slab2)
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, r_in_ext, 128), lambda i: (i, 0, 0)),
-                  pl.BlockSpec(w_cat.shape, lambda i: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0))],
+        in_specs=x_specs + [
+            pl.BlockSpec(w_cat.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((1, r_out_ext, 128), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, r_out_ext, 128),
                                        jnp.int8 if silu else jnp.int32),
         interpret=interpret,
-    )(x_slab, w_cat, lane(bias_lane), lane(r1_lane), lane(s1_lane),
+    )(*x_ops, w_cat, lane(bias_lane), lane(r1_lane), lane(s1_lane),
       lane(r2_lane), lane(s2_lane))
