@@ -121,7 +121,7 @@ def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
     c = model.convs[node.name]
     cin_real, w_in = int(x_shape[1]), int(x_shape[3])
     try:
-        pplan = _pc.make_plan(cin_real, c.w_q.shape[0], 1, w_in)
+        pplan = _pc.make_plan(cin_real, c.w_q.shape[0], node.stride, w_in)
     except ValueError:
         pk[node.name] = None
         return None
@@ -237,39 +237,54 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 in_amax = model.edge_amax_int[node.src]
                 wide = in_amax > 127
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
-                if use_packed and node.stride == 1 \
-                        and node.kernel in (1, 3) and in_amax <= 254:
+                if use_packed and node.stride in (1, 2) \
+                        and node.kernel in (1, 3) \
+                        and (in_amax <= 254 if node.stride == 1
+                             else not wide):
                     entry = _packed_entry(model, plan, node,
                                           env[node.src].shape, _pc)
                     if entry is not None:
                         pp = entry["plan"]
                         h_in = env[node.src].shape[2]
-                        slab2 = None
-                        cached = slab_env.get(node.src)
-                        if (not wide and cached is not None
-                                and cached[1] == (pp.cin_pad, pp.w_in,
-                                                  h_in)):
-                            slab = cached[0]
-                        elif wide:   # 9-bit residual input: 2-part split
-                            x32 = env[node.src].astype(jnp.int32)
-                            x1 = jnp.clip(x32, -127, 127)
-                            slab = _pc.pack_tensor_jnp(x1, pp)
-                            slab2 = _pc.pack_tensor_jnp(x32 - x1, pp)
-                        else:
-                            slab = _pc.pack_tensor_jnp(env[node.src], pp)
-                        out_slab = _pc.packed_conv_slab(
-                            slab, entry["mats"], entry["bias"],
-                            entry["r1"], entry["s1"], entry["r2"],
-                            entry["s2"], pp, h_in, qmax=qmax,
-                            sig_scale=sig_scale_f, sig_qmax=sig_qmax_f,
+                        h_out = h_in // node.stride
+                        kw = dict(
+                            qmax=qmax, sig_scale=sig_scale_f,
+                            sig_qmax=sig_qmax_f,
                             corrections=plan["pallas_sigma_corrections"],
                             bigshift=model.convs[node.name].bigshift_ok,
-                            silu=node.silu, x_slab2=slab2)
+                            silu=node.silu)
+                        if node.stride == 2:
+                            sa, sb = _pc.pack_tensor_s2_jnp(
+                                env[node.src], pp)
+                            out_slab = _pc.packed_conv_s2(
+                                sa, sb, entry["mats"], entry["bias"],
+                                entry["r1"], entry["s1"], entry["r2"],
+                                entry["s2"], pp, h_in, **kw)
+                        else:
+                            slab2 = None
+                            cached = slab_env.get(node.src)
+                            if (not wide and cached is not None
+                                    and cached[1] == (pp.cin_pad, pp.w_in,
+                                                      h_in)):
+                                slab = cached[0]
+                            elif wide:   # 9-bit residual: 2-part split
+                                x32 = env[node.src].astype(jnp.int32)
+                                x1 = jnp.clip(x32, -127, 127)
+                                slab = _pc.pack_tensor_jnp(x1, pp)
+                                slab2 = _pc.pack_tensor_jnp(x32 - x1, pp)
+                            else:
+                                slab = _pc.pack_tensor_jnp(env[node.src],
+                                                           pp)
+                            out_slab = _pc.packed_conv_slab(
+                                slab, entry["mats"], entry["bias"],
+                                entry["r1"], entry["s1"], entry["r2"],
+                                entry["s2"], pp, h_in, x_slab2=slab2,
+                                **kw)
                         if node.silu:
                             slab_env[node.dst] = (
-                                out_slab, (pp.cout_pad, pp.w_out, h_in))
+                                out_slab, (pp.cout_pad, pp.w_out, h_out))
                         env[node.dst] = _pc.unpack_tensor_jnp(out_slab, pp,
-                                                              h_in)
+                                                              h_out)
                         continue
                 if fused1x1 and node.kernel == 3 and not wide:
                     kw = dict(qmax=qmax, sig_scale=sig_scale_f,

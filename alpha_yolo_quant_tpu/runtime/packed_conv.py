@@ -241,20 +241,14 @@ def _epilogue(acc, r1, s1, r2, s2, *, qmax, sig_scale, sig_qmax,
     return req(acc, sigma * r2, s2, qmax)
 
 
-def _packed_kernel(*refs, taps, m, gp2, r_out_ext, qmax, sig_scale,
-                   sig_qmax, corrections, bigshift, silu, row_chunk,
-                   two_part):
+def _packed_kernel(*refs, n_x, taps, m, gp2, r_out_ext, qmax, sig_scale,
+                   sig_qmax, corrections, bigshift, silu, row_chunk):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    if two_part:
-        (x_ref, x2_ref, w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref,
-         out_ref) = refs
-    else:
-        (x_ref, w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref,
-         out_ref) = refs
-        x2_ref = None
+    x_refs = refs[:n_x]
+    w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref, out_ref = refs[n_x:]
     dt = out_ref.dtype
     head = FRONT_PAD + gp2
     out_ref[0, pl.ds(0, head), :] = jnp.zeros((head, 128), dt)
@@ -265,14 +259,10 @@ def _packed_kernel(*refs, taps, m, gp2, r_out_ext, qmax, sig_scale,
     for q0 in range(0, m, row_chunk):
         rows = min(row_chunk, m - q0)
         acc = None
-        for t, base in taps:
-            xs = x_ref[0, pl.ds(base + q0, rows), :]
+        for si, t, base in taps:
+            xs = x_refs[si][0, pl.ds(base + q0, rows), :]
             d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
                         preferred_element_type=jnp.int32)
-            if x2_ref is not None:
-                xs2 = x2_ref[0, pl.ds(base + q0, rows), :]
-                d = d + jnp.dot(xs2, w_ref[pl.ds(t * 128, 128), :],
-                                preferred_element_type=jnp.int32)
             acc = d if acc is None else acc + d
         acc = acc + b_ref[:]
         out = _epilogue(acc, r1_ref[:], s1_ref[:], r2_ref[:], s2_ref[:],
@@ -285,6 +275,80 @@ def _packed_kernel(*refs, taps, m, gp2, r_out_ext, qmax, sig_scale,
         ok = (u >= 1) & (u <= gp2 - 2)
         out_ref[0, pl.ds(head + q0, rows), :] = \
             jnp.where(ok, out, 0).astype(dt)
+
+
+def _packed_call(x_slabs, taps, wlist, bias_lane, r1_lane, s1_lane,
+                 r2_lane, s2_lane, plan: PackPlan, h_out: int, *,
+                 qmax, sig_scale, sig_qmax, corrections, bigshift, silu,
+                 interpret, row_chunk):
+    """Shared core: run the banded-matmul conv given input slab(s) and
+    taps ((slab_idx, w_idx, row_base), ...). Returns the extended output
+    slab (B, R_out_ext, 128), int8 after SiLU / int32 raw."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    gp2 = plan.g + 2
+    m = h_out * gp2
+    r_out_ext = slab_rows_ext(plan, h_out)
+    w_cat = jnp.asarray(np.concatenate(wlist, 0))        # (T*128, 128)
+
+    def lane(v):
+        return jnp.asarray(v, jnp.int32).reshape(1, 128)
+
+    if interpret:
+        # plain-XLA twin of the kernel (bit-identical math): pallas
+        # interpret mode recompiles each call (~30s for the SiLU variant),
+        # which would dominate the CPU test suite
+        acc = None
+        for si, t, base in taps:
+            xs = x_slabs[si][:, base:base + m, :]
+            d = jnp.einsum("brk,kn->brn", xs.astype(jnp.int8),
+                           jnp.asarray(wlist[t]),
+                           preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        acc = acc + jnp.asarray(bias_lane, jnp.int32).reshape(1, 1, 128)
+        out = _epilogue(acc, lane(r1_lane)[None], lane(s1_lane)[None],
+                        lane(r2_lane)[None], lane(s2_lane)[None],
+                        qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
+                        corrections=tuple(corrections), bigshift=bigshift,
+                        silu=silu)
+        u = jnp.arange(m, dtype=jnp.int32).reshape(1, m, 1) % gp2
+        dt = jnp.int8 if silu else jnp.int32
+        out = jnp.where((u >= 1) & (u <= gp2 - 2), out, 0).astype(dt)
+        head = FRONT_PAD + gp2
+        b = x_slabs[0].shape[0]
+        return jnp.concatenate(
+            [jnp.zeros((b, head, 128), dt), out,
+             jnp.zeros((b, r_out_ext - head - m, 128), dt)], 1)
+
+    kernel = functools.partial(
+        _packed_kernel, n_x=len(x_slabs), taps=tuple(taps), m=m, gp2=gp2,
+        r_out_ext=r_out_ext, qmax=qmax, sig_scale=sig_scale,
+        sig_qmax=sig_qmax, corrections=tuple(corrections),
+        bigshift=bigshift, silu=silu,
+        row_chunk=-(-min(row_chunk, m) // gp2) * gp2)
+    b = x_slabs[0].shape[0]
+    x_specs = [pl.BlockSpec((1, s.shape[1], 128), lambda i: (i, 0, 0))
+               for s in x_slabs]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=x_specs + [
+            pl.BlockSpec(w_cat.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, r_out_ext, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, r_out_ext, 128),
+                                       jnp.int8 if silu else jnp.int32),
+        interpret=interpret,
+    )(*x_slabs, w_cat, lane(bias_lane), lane(r1_lane), lane(s1_lane),
+      lane(r2_lane), lane(s2_lane))
 
 
 def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
@@ -302,18 +366,8 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
     chained-residual concat edges reach 3*qmax (ops/nn.py
     conv2d_s8_exact parts): x = x1 + x2 with x1 = clip(x, +-127),
     each conv'd separately, summed in the int32 accumulator (exact)."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
     assert plan.stride == 1
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     gp2 = plan.g + 2
-    h_out = h_in
-    m = h_out * gp2
-    r_in_ext = x_slab.shape[1]
-    r_out_ext = slab_rows_ext(plan, h_out)
     # keep only nonzero tap matrices (a 1x1 conv has one)
     mats = np.asarray(mats_i8)
     taps, wlist = [], []
@@ -321,72 +375,80 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
         for gg in range(3):
             if np.any(mats[dy, gg]):
                 base = FRONT_PAD + dy * gp2 + gg - 1
-                taps.append((len(wlist), base))
+                taps.append((0, len(wlist), base))
+                if x_slab2 is not None:
+                    taps.append((1, len(wlist), base))
                 wlist.append(mats[dy, gg])
-    w_cat = jnp.asarray(np.concatenate(wlist, 0))        # (T*128, 128)
+    x_slabs = [x_slab] if x_slab2 is None else [x_slab, x_slab2]
+    return _packed_call(
+        x_slabs, taps, wlist, bias_lane, r1_lane, s1_lane, r2_lane,
+        s2_lane, plan, h_in, qmax=qmax, sig_scale=sig_scale,
+        sig_qmax=sig_qmax, corrections=corrections, bigshift=bigshift,
+        silu=silu, interpret=interpret, row_chunk=row_chunk)
 
-    def lane(v):
-        return jnp.asarray(v, jnp.int32).reshape(1, 128)
 
-    if interpret:
-        # plain-XLA twin of the kernel (bit-identical math): pallas
-        # interpret mode recompiles each call (~30s for the SiLU variant),
-        # which would dominate the CPU test suite
-        acc = None
-        for t, base in taps:
-            xs = x_slab[:, base:base + m, :]
-            d = jnp.einsum("brk,kn->brn", xs.astype(jnp.int8),
-                           jnp.asarray(wlist[t]),
-                           preferred_element_type=jnp.int32)
-            if x_slab2 is not None:
-                d = d + jnp.einsum(
-                    "brk,kn->brn",
-                    x_slab2[:, base:base + m, :].astype(jnp.int8),
-                    jnp.asarray(wlist[t]),
-                    preferred_element_type=jnp.int32)
-            acc = d if acc is None else acc + d
-        acc = acc + jnp.asarray(bias_lane, jnp.int32).reshape(1, 1, 128)
-        out = _epilogue(acc, lane(r1_lane)[None], lane(s1_lane)[None],
-                        lane(r2_lane)[None], lane(s2_lane)[None],
-                        qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
-                        corrections=tuple(corrections), bigshift=bigshift,
-                        silu=silu)
-        u = jnp.arange(m, dtype=jnp.int32).reshape(1, m, 1) % gp2
-        dt = jnp.int8 if silu else jnp.int32
-        out = jnp.where((u >= 1) & (u <= gp2 - 2), out, 0).astype(dt)
-        head = FRONT_PAD + gp2
-        b = x_slab.shape[0]
-        return jnp.concatenate(
-            [jnp.zeros((b, head, 128), dt), out,
-             jnp.zeros((b, r_out_ext - head - m, 128), dt)], 1)
+# ---------------------------------------------------------------------------
+# Stride 2: de-interleave the padded input rows into EVEN/ODD row-block
+# slabs (XLA-side strided slice), after which every tap offset is again
+# CONSTANT: output block y reads padded input rows 2y (A[y]), 2y+1 (B[y]),
+# 2y+2 (A[y+1]) — taps dy=0/2 hit slab A at bases 0 / gp2, dy=1 hits
+# slab B at base 0. The stride-2 pixel decimation inside a row lives in
+# the tap matrices (packed_weight_mats q = s*p + dx - 1), which also
+# covers the channel doubling (p_in = 2*p_out packs the same 128 lanes).
+# ---------------------------------------------------------------------------
 
-    kernel = functools.partial(
-        _packed_kernel, taps=tuple(taps), m=m, gp2=gp2,
-        r_out_ext=r_out_ext, qmax=qmax, sig_scale=sig_scale,
-        sig_qmax=sig_qmax, corrections=tuple(corrections),
-        bigshift=bigshift, silu=silu,
-        row_chunk=-(-min(row_chunk, m) // gp2) * gp2,
-        two_part=x_slab2 is not None)
-    b = x_slab.shape[0]
-    x_specs = [pl.BlockSpec((1, r_in_ext, 128), lambda i: (i, 0, 0))]
-    x_ops = [x_slab]
-    if x_slab2 is not None:
-        x_specs.append(pl.BlockSpec((1, r_in_ext, 128),
-                                    lambda i: (i, 0, 0)))
-        x_ops.append(x_slab2)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=x_specs + [
-            pl.BlockSpec(w_cat.shape, lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((1, r_out_ext, 128), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, r_out_ext, 128),
-                                       jnp.int8 if silu else jnp.int32),
-        interpret=interpret,
-    )(*x_ops, w_cat, lane(bias_lane), lane(r1_lane), lane(s1_lane),
-      lane(r2_lane), lane(s2_lane))
+
+def pack_tensor_s2_jnp(x_nchw, plan: PackPlan):
+    """NCHW int tensor -> (slabA, slabB) extended even/odd row-block slabs
+    for the stride-2 kernel. A = padded rows {0,2,..,h}, B = {1,3,..,h+1}."""
+    import jax.numpy as jnp
+
+    b, c, h, w = x_nchw.shape
+    assert c == plan.cin and w == plan.w_in and h % 2 == 0
+    x = x_nchw.astype(jnp.int8).transpose(0, 2, 3, 1)     # NHWC
+    if plan.cin_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, plan.cin_pad - c)))
+    x = x.reshape(b, h, plan.g, 128)
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))      # group pads
+    # padded row p <-> data row p-1: A rows {0,2..h} = zero + odd data
+    # rows; B rows {1,3..h+1} = even data rows + zero
+    xa = jnp.pad(x[:, 1::2], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    xb = jnp.pad(x[:, 0::2], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    gp2 = plan.g + 2
+    nblk = h // 2 + 1
+
+    def ext(t):
+        t = t.reshape(b, nblk * gp2, 128)
+        r_ext = -(-(FRONT_PAD + nblk * gp2 + gp2 + SUBLANE_PAD) // 32) * 32
+        return jnp.pad(t, ((0, 0), (FRONT_PAD, r_ext - FRONT_PAD
+                                    - nblk * gp2), (0, 0)))
+
+    return ext(xa), ext(xb)
+
+
+def packed_conv_s2(x_slab_a, x_slab_b, mats_i8, bias_lane, r1_lane,
+                   s1_lane, r2_lane, s2_lane, plan: PackPlan, h_in: int,
+                   *, qmax: int = 127, sig_scale: float = 1.0,
+                   sig_qmax: float = 127.0,
+                   corrections: Tuple[Tuple[int, int], ...] = (),
+                   bigshift: bool = False, silu: bool = True,
+                   interpret: Optional[bool] = None,
+                   row_chunk: int = 4096):
+    """Stride-2 banded conv over even/odd row-block slabs (see above).
+    Returns the OUTPUT extended slab at h_out = h_in // 2."""
+    assert plan.stride == 2
+    gp2 = plan.g + 2
+    mats = np.asarray(mats_i8)
+    taps, wlist = [], []
+    for dy in range(3):
+        si = 1 if dy == 1 else 0
+        roff = gp2 if dy == 2 else 0
+        for gg in range(3):
+            if np.any(mats[dy, gg]):
+                taps.append((si, len(wlist), FRONT_PAD + roff + gg - 1))
+                wlist.append(mats[dy, gg])
+    return _packed_call(
+        [x_slab_a, x_slab_b], taps, wlist, bias_lane, r1_lane, s1_lane,
+        r2_lane, s2_lane, plan, h_in // 2, qmax=qmax, sig_scale=sig_scale,
+        sig_qmax=sig_qmax, corrections=corrections, bigshift=bigshift,
+        silu=silu, interpret=interpret, row_chunk=row_chunk)

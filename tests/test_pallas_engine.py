@@ -31,7 +31,7 @@ def _setup(size=64, full=False):
     return cfg, model
 
 
-ENGINES = ["pallas", "nhwc", "s8", "s8_nhwc", "fused", "auto"]
+ENGINES = ["pallas", "nhwc", "s8", "s8_nhwc", "fused", "auto", "packed"]
 
 
 def _assert_outputs_equal(model, want, got, msg=""):
@@ -54,7 +54,7 @@ def test_engine_bit_exact(engine, k):
     model = build_quantized_model(graph, params, max_a, cfg)
     x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
     xq = quantize_input(jnp.asarray(x), k)
-    needs_pallas = engine in ("pallas", "fused")
+    needs_pallas = engine in ("pallas", "fused", "packed")
     want = int_forward(model, device_plan(model), xq, engine="xla")
     got = int_forward(model, device_plan(model, pallas=needs_pallas), xq,
                       engine=engine)
@@ -82,8 +82,8 @@ def test_engines_exact_with_saturated_concat_edges():
                    for e in wide_edges)
     assert observed > 254, "test data must actually exceed the 2-part range"
     want = {r: env[r] for r in model.graph.outputs}
-    for engine in ("s8", "auto", "fused", "s8_nhwc"):
-        needs_pallas = engine == "fused"
+    for engine in ("s8", "auto", "fused", "s8_nhwc", "packed"):
+        needs_pallas = engine in ("fused", "packed")
         got = int_forward(model, device_plan(model, pallas=needs_pallas),
                           xq, engine=engine)
         _assert_outputs_equal(model, want, got, msg=f"{engine} saturated ")
