@@ -120,17 +120,30 @@ def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
         return pk[node.name]
     c = model.convs[node.name]
     cin_real, w_in = int(x_shape[1]), int(x_shape[3])
+    w_q = np.int64(c.w_q)
+    cout = w_q.shape[0]
+    kind = "std"
     try:
-        pplan = _pc.make_plan(cin_real, c.w_q.shape[0], node.stride, w_in)
+        pplan = _pc.make_plan(cin_real, cout, node.stride, w_in)
     except ValueError:
+        pplan = None
+        if node.kernel == 1 and node.stride == 1:
+            try:
+                pplan = _pc.make_down2_plan(cin_real, cout, w_in)
+                kind = "down2"
+            except ValueError:
+                pplan = None
+    if pplan is None:
         pk[node.name] = None
         return None
-    w_q = np.int64(c.w_q)
-    if node.kernel == 1:
-        w33 = np.zeros(w_q.shape[:2] + (3, 3), np.int64)
-        w33[:, :, 1, 1] = w_q[:, :, 0, 0]
-        w_q = w33
-    cout = w_q.shape[0]
+    if kind == "std":
+        if node.kernel == 1:
+            w33 = np.zeros(w_q.shape[:2] + (3, 3), np.int64)
+            w33[:, :, 1, 1] = w_q[:, :, 0, 0]
+            w_q = w33
+        mats = _pc.packed_weight_mats(w_q, pplan)
+    else:
+        mats = _pc.down2_weight_mats(w_q, pplan)
 
     def lane_of(v, fill=0):
         arr = (np.zeros(cout, np.int64) + fill if v is None
@@ -139,7 +152,8 @@ def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
 
     entry = {
         "plan": pplan,
-        "mats": _pc.packed_weight_mats(w_q, pplan),
+        "kind": kind,
+        "mats": mats,
         "bias": lane_of(np.int64(c.b_q).reshape(-1)),
         "r1": lane_of(c.r1),
         "s1": lane_of(c.s1, fill=1),
@@ -239,10 +253,40 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
                 if use_packed and node.stride in (1, 2) \
                         and node.kernel in (1, 3) \
-                        and (in_amax <= 254 if node.stride == 1
-                             else not wide):
+                        and (node.stride == 1 or not wide):
                     entry = _packed_entry(model, plan, node,
                                           env[node.src].shape, _pc)
+                    # the std stride-1 kernel covers <=2 int8 parts; the
+                    # down2 kernel covers any part count (concat edges
+                    # reach 3*qmax)
+                    if (entry is not None and entry["kind"] == "std"
+                            and node.stride == 1 and in_amax > 254):
+                        entry = None
+                    if entry is not None and entry["kind"] == "down2":
+                        pp = entry["plan"]
+                        h_in = env[node.src].shape[2]
+                        x32 = env[node.src].astype(jnp.int32)
+                        slabs = []
+                        rem = x32
+                        for _ in range(int(s8_parts)):
+                            part = jnp.clip(rem, -127, 127)
+                            rem = rem - part
+                            slabs += list(_pc.pack_tensor_down2_jnp(
+                                part, pp))
+                        out_slab = _pc.packed_conv_down2(
+                            slabs, entry["mats"], entry["bias"],
+                            entry["r1"], entry["s1"], entry["r2"],
+                            entry["s2"], pp, h_in, qmax=qmax,
+                            sig_scale=sig_scale_f, sig_qmax=sig_qmax_f,
+                            corrections=plan["pallas_sigma_corrections"],
+                            bigshift=model.convs[node.name].bigshift_ok,
+                            silu=node.silu)
+                        if node.silu:
+                            slab_env[node.dst] = (
+                                out_slab, (pp.cout_pad, pp.w_out, h_in))
+                        env[node.dst] = _pc.unpack_tensor_jnp(
+                            out_slab, pp, h_in)
+                        continue
                     if entry is not None:
                         pp = entry["plan"]
                         h_in = env[node.src].shape[2]

@@ -426,6 +426,94 @@ def pack_tensor_s2_jnp(x_nchw, plan: PackPlan):
     return ext(xa), ext(xb)
 
 
+def make_down2_plan(cin: int, cout: int, w_in: int) -> PackPlan:
+    """Plan for a 1x1 'downpack' conv with cin_pad == 2*cout_pad
+    (C2F_*_conv_1 shapes: 48->32, 128->64, 96->64): each output group of
+    p_out pixels draws from TWO input groups of p_in = p_out/2 pixels.
+    plan.g is the OUTPUT group count (the kernel/unpack geometry); the
+    input is packed as even/odd-group slabs in that same geometry."""
+    cin_pad = _pad_channels(cin)
+    cout_pad = _pad_channels(cout)
+    p_in, p_out = 128 // cin_pad, 128 // cout_pad
+    if p_out != 2 * p_in:
+        raise ValueError(
+            f"down2 needs p_out == 2*p_in (cin_pad={cin_pad}, "
+            f"cout_pad={cout_pad})")
+    if w_in % p_out:
+        raise ValueError(f"W={w_in} not divisible by P_out={p_out}")
+    return PackPlan(cin=cin, cout=cout, cin_pad=cin_pad,
+                    cout_pad=cout_pad, p_in=p_in, p_out=p_out, stride=1,
+                    w_in=w_in, g=w_in // p_out)
+
+
+def down2_weight_mats(w_oihw: np.ndarray, plan: PackPlan) -> np.ndarray:
+    """1x1 weights (Cout, Cin, 1, 1) -> (2, 128, 128): W[0] maps the
+    even input group (output pixels 0..p_in-1), W[1] the odd group
+    (output pixels p_in..p_out-1)."""
+    co, ci = w_oihw.shape[:2]
+    assert (co, ci) == (plan.cout, plan.cin)
+    mats = np.zeros((2, 128, 128), np.int64)
+    for q in range(plan.p_out):
+        half, lp = divmod(q, plan.p_in)
+        li = lp * plan.cin_pad
+        lo = q * plan.cout_pad
+        mats[half, li:li + ci, lo:lo + co] += w_oihw[:, :, 0, 0].T
+    assert np.abs(mats).max() <= 127
+    return mats.astype(np.int8)
+
+
+def pack_tensor_down2_jnp(x_nchw, plan: PackPlan):
+    """NCHW -> (slabE, slabO): even/odd input groups, each padded in the
+    OUTPUT geometry ((H+2) x (g_out+2) blocks)."""
+    import jax.numpy as jnp
+
+    b, c, h, w = x_nchw.shape
+    assert c == plan.cin and w == plan.w_in
+    x = x_nchw.astype(jnp.int8).transpose(0, 2, 3, 1)     # NHWC
+    if plan.cin_pad != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, plan.cin_pad - c)))
+    x = x.reshape(b, h, 2 * plan.g, 128)
+    g = plan.g
+    r_ext = slab_rows_ext(plan, h)
+
+    def ext(t):
+        t = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        t = t.reshape(b, (h + 2) * (g + 2), 128)
+        return jnp.pad(t, ((0, 0), (FRONT_PAD,
+                                    r_ext - FRONT_PAD - t.shape[1]),
+                           (0, 0)))
+
+    return ext(x[:, :, 0::2]), ext(x[:, :, 1::2])
+
+
+def packed_conv_down2(x_slabs_eo, mats2_i8, bias_lane, r1_lane,
+                      s1_lane, r2_lane, s2_lane, plan: PackPlan,
+                      h_in: int, *, qmax: int = 127,
+                      sig_scale: float = 1.0, sig_qmax: float = 127.0,
+                      corrections: Tuple[Tuple[int, int], ...] = (),
+                      bigshift: bool = False, silu: bool = True,
+                      interpret: Optional[bool] = None,
+                      row_chunk: int = 4096):
+    """Downpack 1x1 conv: out_row = E_row @ W0 + O_row @ W1, identical
+    row indices (the center-tap base). x_slabs_eo is a flat [E, O] list,
+    or [E1, O1, E2, O2, ...] for wide inputs split into int8 parts
+    (the concat edges reach 3*qmax; each part is conv'd and summed in
+    the int32 accumulator — exact)."""
+    gp2 = plan.g + 2
+    base = FRONT_PAD + gp2
+    mats = np.asarray(mats2_i8)
+    assert len(x_slabs_eo) % 2 == 0
+    taps = []
+    for p in range(len(x_slabs_eo) // 2):
+        taps += [(2 * p, 0, base), (2 * p + 1, 1, base)]
+    return _packed_call(
+        list(x_slabs_eo), taps, [mats[0], mats[1]], bias_lane,
+        r1_lane, s1_lane, r2_lane, s2_lane, plan, h_in, qmax=qmax,
+        sig_scale=sig_scale, sig_qmax=sig_qmax, corrections=corrections,
+        bigshift=bigshift, silu=silu, interpret=interpret,
+        row_chunk=row_chunk)
+
+
 def packed_conv_s2(x_slab_a, x_slab_b, mats_i8, bias_lane, r1_lane,
                    s1_lane, r2_lane, s2_lane, plan: PackPlan, h_in: int,
                    *, qmax: int = 127, sig_scale: float = 1.0,

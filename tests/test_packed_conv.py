@@ -93,6 +93,54 @@ def test_packed_wide_two_part_exact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("cin,cout,hw", [(48, 32, 32), (96, 64, 16),
+                                         (128, 64, 16)])
+def test_packed_down2_exact(cin, cout, hw):
+    """1x1 downpack (cin_pad == 2*cout_pad): C2F_*_conv_1 shapes."""
+    plan = pc.make_down2_plan(cin, cout, hw)
+    x = RNG.integers(-127, 128, (2, cin, hw, hw)).astype(np.int64)
+    w = RNG.integers(-127, 128, (cout, cin, 1, 1)).astype(np.int64)
+    bias = RNG.integers(-900, 900, (cout,)).astype(np.int64)
+    mats = pc.down2_weight_mats(w, plan)
+    z = pc.pack_lane_const(np.zeros(cout), plan)
+    o = pc.pack_lane_const(np.ones(cout), plan, fill=1)
+    bl = pc.pack_lane_const(bias, plan)
+    se, so = pc.pack_tensor_down2_jnp(jnp.asarray(x, jnp.int32), plan)
+    out = pc.packed_conv_down2([se, so], mats, bl, z, o, z, o, plan, hw,
+                               silu=False)
+    got = np.asarray(pc.unpack_tensor_jnp(out, plan, hw), np.int64)
+    want = np.asarray(
+        conv2d_s8_exact(jnp.asarray(x, jnp.int8),
+                        jnp.asarray(w, jnp.int8), 1, 0), np.int64) \
+        + bias.reshape(1, -1, 1, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_down2_wide_three_part_exact():
+    """Wide concat inputs (|x| up to 3*qmax = 381) through the downpack
+    kernel: three int8 part-pairs summed in the accumulator."""
+    cin, cout, hw = 48, 32, 32
+    plan = pc.make_down2_plan(cin, cout, hw)
+    x = RNG.integers(-381, 382, (2, cin, hw, hw)).astype(np.int64)
+    w = RNG.integers(-127, 128, (cout, cin, 1, 1)).astype(np.int64)
+    mats = pc.down2_weight_mats(w, plan)
+    z = pc.pack_lane_const(np.zeros(cout), plan)
+    o = pc.pack_lane_const(np.ones(cout), plan, fill=1)
+    slabs = []
+    x32 = jnp.asarray(x, jnp.int32)
+    rem = x32
+    for _ in range(3):
+        part = jnp.clip(rem, -127, 127)
+        rem = rem - part
+        slabs += list(pc.pack_tensor_down2_jnp(part, plan))
+    out = pc.packed_conv_down2(slabs, mats, z, z, o, z, o, plan, hw,
+                               silu=False)
+    got = np.asarray(pc.unpack_tensor_jnp(out, plan, hw), np.int64)
+    want = np.asarray(conv2d_s8_exact(x32, jnp.asarray(w, jnp.int8),
+                                      1, 0, parts=3), np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pack_unpack_roundtrip():
     plan = pc.make_plan(32, 32, 1, 16)
     x = RNG.integers(-127, 128, (3, 32, 16, 16)).astype(np.int64)
