@@ -193,6 +193,13 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     use_s8 = engine in ("s8", "s8_nhwc", "fused", "auto", "packed") \
         and not keep_env
     auto_flavor = engine in ("auto", "packed") and not keep_env
+    # Inter-layer activations are stored as bf16 in the auto/packed
+    # engines: every stored value is an integer with |v| <= 127 (the
+    # epilogue clips to qmax), exactly representable in bf16 (<= 256),
+    # and the dominant consumer — the single-pass bf16 conv — then needs
+    # no int8->bf16 convert pass through HBM. Integer consumers cast
+    # back (exact). Wide (9-bit) edges stay int32 as before.
+    bf16_store = auto_flavor
     use_packed = engine == "packed" and not keep_env
     fused1x1 = engine == "fused" and not keep_env
     if use_packed:
@@ -389,7 +396,12 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 sigma = plan["sig_lut"].apply(dom)
                 m = sigma * cshape(c["r2"])   # < 2^15, exact folding
                 out = req(acc, m, cshape(c["s2"]), qmax)
-                env[node.dst] = out.astype(jnp.int8) if use_s8 else out
+                if bf16_store:
+                    env[node.dst] = out.astype(jnp.bfloat16)
+                elif use_s8:
+                    env[node.dst] = out.astype(jnp.int8)
+                else:
+                    env[node.dst] = out
             else:
                 env[node.dst] = acc
         elif isinstance(node, SplitNode):
@@ -405,12 +417,22 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             req = requantize_i32_small(env[node.src], r, s, qmax)
             if keep_env:
                 env[f"{node.label}:rescale"] = req
-            out = req + env[node.base]
+            base = env[node.base]
+            if bf16_store and base.dtype != jnp.int32:
+                base = base.astype(jnp.int32)   # exact: |v| <= qmax ints
+            out = req + base
             bound = model.clip_after_residual.get(idx)
             if bound is not None:
                 out = jnp.clip(out, -bound, bound)
             env[node.dst] = out
         elif isinstance(node, ConcatNode):
+            # uniform part dtype: bf16 when the concat output stays in
+            # int8 range (exact), int32 when residual parts widen it
+            cat_dt = None
+            if bf16_store:
+                cat_dt = (jnp.bfloat16
+                          if model.edge_amax_int.get(node.dst, 1 << 20)
+                          <= 127 else jnp.int32)
             parts = []
             for e in node.srcs:
                 t = env[e]
@@ -419,8 +441,10 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                     t = requantize_i32_small(t, r, s, qmax)
                     if keep_env:
                         env[f"{node.label}:{e}:requant"] = t
-                    if use_s8:
+                    if use_s8 and cat_dt is None:
                         t = t.astype(jnp.int8)
+                if cat_dt is not None:
+                    t = t.astype(cat_dt)
                 parts.append(t)
             env[node.dst] = jnp.concatenate(parts, axis=cax)
         elif isinstance(node, MaxPoolNode):

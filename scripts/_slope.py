@@ -23,8 +23,10 @@ def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
         def body(i, carry):
             x, acc = carry
             out = fn(x)
-            s = out.reshape(-1)[0].astype(jnp.float32)
-            x = x + (s * 0).astype(x.dtype)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            s = leaf.reshape(-1)[0].astype(jnp.float32)
+            x = jax.tree_util.tree_map(
+                lambda t: t + (s * 0).astype(t.dtype), x)
             return x, acc + s
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
 
