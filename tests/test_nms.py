@@ -186,6 +186,28 @@ def test_scale_boxes_roundtrip():
 
 
 @ref_exists
+@ref_exists
+def test_greedy_mask_cap_overflow_parity():
+    """More greedy survivors than max_det: the kept-box buffer drops
+    appends beyond its cap, which must not change the TRUNCATED output —
+    the first max_det kept boxes (see _greedy_nms_mask docstring)."""
+    ref = load_ref("utils.bbox_cls_functions")
+    rng = np.random.default_rng(5)
+    n, max_det = 1200, 300
+    xy = rng.uniform(0, 60000, (n, 2))       # sparse: most boxes survive
+    wh = rng.uniform(30, 200, (n, 2))
+    boxes = np.concatenate((xy, xy + wh), 1)
+    scores = rng.uniform(0, 1, n)
+    want = ref.nms(boxes, scores, 0.45)
+    assert len(want) > max_det, "test needs survivors beyond max_det"
+    keep = np.asarray(_greedy_nms_mask(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
+        jnp.ones(n, bool), 0.45, max_det, 1.0, False))
+    assert keep.sum() == max_det
+    assert set(np.nonzero(keep)[0].tolist()) \
+        == set(int(i) for i in want[:max_det])
+
+
 def test_greedy_mask_dense_clusters_parity():
     """Dense overlapping candidates produce deep suppression chains — the
     regime the blocked implementation restructures; keep-set must still
