@@ -41,38 +41,44 @@ r_ext = slab0.shape[1]
 mm = (IB - 1) * r_ext + m          # merged dot rows covering IB images
 
 
+CHUNK = 3584      # rows per in-kernel chunk (int32 acc = 1.8MB VMEM)
+
+
 def run_merged(s, dtype="int8"):
     def kern(x_ref, w_ref, out_ref):
         head = pc.FRONT_PAD + gp2
-        acc = None
-        for t in range(9):
-            dy, gg = divmod(t, 3)
-            base = pc.FRONT_PAD + dy * gp2 + gg - 1
-            xs = x_ref[0, pl.ds(base, mm), :]
-            if dtype == "bf16":
-                d = jnp.dot(xs.astype(jnp.bfloat16),
-                            w_ref[pl.ds(t * 128, 128), :]
-                            .astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-                d = d.astype(jnp.int32)
-            else:
-                d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
-                            preferred_element_type=jnp.int32)
-            acc = d if acc is None else acc + d
-        # epilogue (sigmoid requant) on the merged block
-        dom = requantize_i32(acc, 3, 9, 127)
-        sig = jnp.clip(jnp.round(jax.nn.sigmoid(
-            dom.astype(jnp.float32) / np.float32(20.0)) * 127),
-            -127, 127).astype(jnp.int32)
-        out = requantize_i32(acc, sig * 3, 9, 127)
-        u = jax.lax.broadcasted_iota(jnp.int32, (mm, 1), 0) % r_ext
-        ok = (u < m) & ((u % gp2) >= 1) & ((u % gp2) <= gp2 - 2)
-        out = jnp.where(ok, out, 0).astype(jnp.int8)
         out_ref[0, pl.ds(0, head), :] = jnp.zeros((head, 128), jnp.int8)
-        out_ref[0, pl.ds(head, mm), :] = out
         tail = IB * r_ext - head - mm
         out_ref[0, pl.ds(head + mm, tail), :] = jnp.zeros(
             (tail, 128), jnp.int8)
+        for q0 in range(0, mm, CHUNK):
+            rows = min(CHUNK, mm - q0)
+            acc = None
+            for t in range(9):
+                dy, gg = divmod(t, 3)
+                base = pc.FRONT_PAD + dy * gp2 + gg - 1 + q0
+                xs = x_ref[0, pl.ds(base, rows), :]
+                if dtype == "bf16":
+                    d = jnp.dot(xs.astype(jnp.bfloat16),
+                                w_ref[pl.ds(t * 128, 128), :]
+                                .astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                    d = d.astype(jnp.int32)
+                else:
+                    d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
+                                preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+            # epilogue (sigmoid requant) on the chunk
+            dom = requantize_i32(acc, 3, 9, 127)
+            sig = jnp.clip(jnp.round(jax.nn.sigmoid(
+                dom.astype(jnp.float32) / np.float32(20.0)) * 127),
+                -127, 127).astype(jnp.int32)
+            out = requantize_i32(acc, sig * 3, 9, 127)
+            u = q0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            ok = ((u % r_ext) < m) & ((u % gp2) >= 1) \
+                & ((u % gp2) <= gp2 - 2)
+            out = jnp.where(ok, out, 0).astype(jnp.int8)
+            out_ref[0, pl.ds(head + q0, rows), :] = out
 
     s4 = s.reshape(B // IB, IB * r_ext, 128)
     out = pl.pallas_call(
