@@ -218,12 +218,18 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
 
 
 def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
-    """pred: (84, N) -> fixed-size top-k candidate set, score-sorted.
+    """pred: (84, N) plane, or a pre-reduced (boxes_xywh (4,N), conf (N,),
+    cls (N,)) tuple (decode_full_quant(reduce_cls=True) serving path) ->
+    fixed-size top-k candidate set, score-sorted.
     Returns (boxes_xyxy (M,4), conf (M,), cls (M,), valid (M,))."""
-    box = xywh2xyxy(pred[:4].T)                # (N,4)
-    cls_scores = pred[4:]                      # (80, N)
-    conf = jnp.max(cls_scores, axis=0)
-    cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
+    if isinstance(pred, tuple):
+        bxywh, conf, cls = pred
+        box = xywh2xyxy(bxywh.T)               # (N,4)
+    else:
+        box = xywh2xyxy(pred[:4].T)            # (N,4)
+        cls_scores = pred[4:]                  # (80, N)
+        conf = jnp.max(cls_scores, axis=0)
+        cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
     valid = conf > conf_thres
     m = min(pre_topk or max_nms, max_nms, conf.shape[0])
     score_for_sort = jnp.where(valid, conf, -jnp.inf)
@@ -242,7 +248,9 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
     """Batched NMS.
 
     preds: (B, 4+nc, N) in xywh + class scores (float; for q_NMS these are
-    integer-valued floats in anchor/sigmoid scale units).
+    integer-valued floats in anchor/sigmoid scale units), or the
+    pre-reduced tuple (boxes_xywh (B,4,N), conf (B,N), cls (B,N)) from
+    decode_full_quant(reduce_cls=True).
 
     score_map: optional MONOTONE map applied to the kept rows' confidences
     before descaling (the serving path defers the 16-bit sigmoid LUT here —

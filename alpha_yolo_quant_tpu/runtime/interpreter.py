@@ -480,7 +480,8 @@ def dequantize_heads(model: QuantizedModel, outs: Dict) -> Dict:
 
 
 def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
-                      sigmoid_cls: bool = True) -> jnp.ndarray:
+                      sigmoid_cls: bool = True,
+                      reduce_cls: bool = False):
     """Fully-quantized head: 8-bit box requant, LUT-exponent softmax,
     quantized DFL, quantized anchors, 16-bit LUT sigmoid classes
     (reference stage_6_full_quant tail / stage_8_torch_full_quant.py:
@@ -490,7 +491,13 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
     sigmoid_cls=False defers the 16-bit sigmoid: class rows stay in the
     requantized-int domain. The sigmoid is monotone, so ranking/threshold
     commute with it — the serving path applies it only to the <=max_det
-    kept rows (the 10M-element LUT pass was ~35% of decode)."""
+    kept rows (the 10M-element LUT pass was ~35% of decode).
+
+    reduce_cls=True (serving path; requires sigmoid_cls=False) reduces
+    the 80 class rows to (conf, argmax) inside decode and returns the
+    tuple (boxes_xywh (B,4,N), conf (B,N), cls (B,N)) instead of the
+    (B,84,N) plane — NMS needs only the max class, and materializing +
+    re-reading the class plane costs ~0.8ms/batch-128 of HBM."""
     h = model.head
     hp = plan["head"]
     boxes, clss, shapes = [], [], []
@@ -541,6 +548,11 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
     anchors_q = jnp.round(anchors * h.anchor_scale)
     dbox = dist2bbox(dfl_q.astype(jnp.float32), anchors_q[None]) * strides
 
+    if reduce_cls:
+        assert not sigmoid_cls, "reduce_cls defers the sigmoid to NMS"
+        conf = jnp.max(cls, axis=1).astype(jnp.float32)
+        cid = jnp.argmax(cls, axis=1).astype(jnp.float32)
+        return dbox, conf, cid
     if sigmoid_cls:
         cls = hp["cls_sig_lut"].apply(cls)
     return jnp.concatenate((dbox, cls.astype(jnp.float32)), 1)
@@ -596,7 +608,9 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         outs = int_forward(model, plan, x_q, engine=engine)
         if full:
             preds = decode_full_quant(model, plan, outs,
-                                      sigmoid_cls=score_map is None)
+                                      sigmoid_cls=score_map is None,
+                                      reduce_cls=(score_map is not None
+                                                  and with_nms))
         else:
             preds = decode_float(dequantize_heads(model, outs), dfl_w)
         if with_nms:

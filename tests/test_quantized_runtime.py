@@ -246,3 +246,37 @@ def test_deferred_cls_sigmoid_equivalent():
         # same detection set (ordering of exact score ties may differ)
         np.testing.assert_allclose(np.sort(a, axis=0), np.sort(c, axis=0),
                                    rtol=1e-6)
+
+
+def test_reduce_cls_decode_equivalent():
+    """decode_full_quant(reduce_cls=True) reduces the 80 class rows to
+    (conf, argmax) inside decode; detections through NMS must be
+    IDENTICAL to the (B,84,N)-plane path (same max values, same
+    first-index argmax tie rule)."""
+    import dataclasses as dc
+
+    from alpha_yolo_quant_tpu.postprocess.nms import (
+        non_max_suppression, q_nms_params,
+    )
+    from alpha_yolo_quant_tpu.runtime.interpreter import (
+        cls_int_conf_threshold, decode_full_quant,
+    )
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    plan = device_plan(model)
+    x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    outs = int_forward(model, plan, quantize_input(jnp.asarray(x), 8))
+    p = dc.replace(q_nms_params(model.head.anchor_scale),
+                   conf_thres=cls_int_conf_threshold(model))
+    smap = plan["head"]["cls_sig_lut"].apply
+
+    plane = decode_full_quant(model, plan, outs, sigmoid_cls=False)
+    det_p, n_p = non_max_suppression(plane, p, score_map=smap)
+    tup = decode_full_quant(model, plan, outs, sigmoid_cls=False,
+                            reduce_cls=True)
+    np.testing.assert_array_equal(np.asarray(plane[:, :4]),
+                                  np.asarray(tup[0]))
+    det_t, n_t = non_max_suppression(tup, p, score_map=smap)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_t))
+    np.testing.assert_array_equal(np.asarray(det_p), np.asarray(det_t))
