@@ -160,7 +160,11 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
                    for v in (x1p, y1p, x2p, y2p, areasp)) \
         + (validp.reshape(n_blocks, blk),)
     cap = -(-max_det // blk) * blk + blk      # kept-box buffer slots
-    kb0 = tuple(jnp.zeros((cap,), jnp.float32) for _ in range(5))
+    # carry init derived from the data (a zero scalar off areasp) so its
+    # varying-axis type matches the body outputs under shard_map
+    zero = areasp[0] * jnp.float32(0)
+    kb0 = tuple(jnp.zeros((cap,), jnp.float32) + zero for _ in range(5))
+    kcount0 = zero.astype(jnp.int32)
 
     def blk_body(carry, dat):
         kbuf, kcount = carry
@@ -205,7 +209,7 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
         kcount = kcount + jnp.sum(k_b)
         return (kbuf, kcount), k_b
 
-    _, keepb = jax.lax.scan(blk_body, (kb0, jnp.int32(0)), blkdat)
+    _, keepb = jax.lax.scan(blk_body, (kb0, kcount0), blkdat)
     keep_sorted = keepb.reshape(n_pad)[:n] > 0.5
     # truncate the survivor list to max_det in score order
     # (reference coord: i = i[:max_det])

@@ -598,6 +598,10 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
             score_map = plan["head"]["cls_sig_lut"].apply
         else:
             nms_params = NmsParams(conf_thres=0.25)
+    elif full and nms_params.quantized:
+        # custom q_NMS params keep the deferred-sigmoid fast path:
+        # conf_thres is interpreted in the PRE-sigmoid int domain
+        score_map = plan["head"]["cls_sig_lut"].apply
     if not full:
         if dfl_w_float is None:
             raise ValueError("partial-quant pipeline needs dfl_w_float")
