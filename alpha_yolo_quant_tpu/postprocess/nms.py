@@ -128,14 +128,10 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     ~8ms/batch-128 more even when it runs every block (XLA cannot
     schedule across a dynamic-trip while; measured 19.0 -> 10.9 ms,
     scripts/nms4.log), and mostly-empty trailing blocks converge in one
-    Jacobi step.
-
-    Earlier-kept suppression uses a COMPACT kept-box buffer of
-    cap = max_det rounded up to a block (not all N candidates): keep
-    flags of candidates ranked after the cap-th kept box cannot change
-    the first max_det kept rows — the only ones the final truncation
-    emits — so dropping buffer appends beyond cap leaves the OUTPUT
-    (det rows and n_det) exactly equal to full greedy + truncate."""
+    Jacobi step. (A compact scatter-maintained kept-box buffer and
+    direct row emission were tried and REVERTED: the per-block scatters
+    cost more than the (N, blk) suppress slice + final argsort they
+    replaced — 16.0 vs 10.9 ms on the worst-case probe.)"""
     n = boxes.shape[0]
     if not presorted:
         perm = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), stable=True)
@@ -143,7 +139,6 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
         valid = valid[perm]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = (x2 - x1 + plus_one) * (y2 - y1 + plus_one)
-    xyxya = (x1, y1, x2, y2, areas)
 
     blk = 128
     n_blocks = -(-n // blk)
@@ -152,34 +147,28 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     def pad(v):
         return jnp.pad(v, (0, n_pad - v.shape[0]))
 
-    x1p, y1p, x2p, y2p, areasp = (pad(v) for v in xyxya)
+    x1p, y1p, x2p, y2p, areasp = (pad(v) for v in
+                                  (x1, y1, x2, y2, areas))
+    xyxya = (x1p, y1p, x2p, y2p, areasp)   # padded rows are never kept
     validp = pad(valid)
     tri = (jnp.arange(blk)[:, None] < jnp.arange(blk)[None, :]).astype(
         jnp.bfloat16)
     blkdat = tuple(v.reshape(n_blocks, blk)
                    for v in (x1p, y1p, x2p, y2p, areasp)) \
-        + (validp.reshape(n_blocks, blk),)
-    cap = -(-max_det // blk) * blk + blk      # kept-box buffer slots
-    # carry init derived from the data (a zero scalar off areasp) so its
-    # varying-axis type matches the body outputs under shard_map
-    zero = areasp[0] * jnp.float32(0)
-    kb0 = tuple(jnp.zeros((cap,), jnp.float32) + zero for _ in range(5))
-    kcount0 = zero.astype(jnp.int32)
+        + (validp.reshape(n_blocks, blk),
+           jnp.arange(n_blocks, dtype=jnp.int32) * blk)
 
-    def blk_body(carry, dat):
-        kbuf, kcount = carry
-        bx1, by1, bx2, by2, bareas, v_row = dat
+    def blk_body(kept, dat):
+        bx1, by1, bx2, by2, bareas, v_row, start = dat
         xyxya_b = (bx1, by1, bx2, by2, bareas)
-        # prune by the (first cap) already-kept boxes: zero buffer slots
-        # contribute valid_i * s_ij = 0 through the matvec
-        s_kept = _suppress_slice(kbuf, xyxya_b, iou_thres, plus_one,
-                                 quantized)                   # (cap, blk)
-        kvalid = (jnp.arange(cap) < kcount).astype(jnp.bfloat16)
-        pre_kill = (kvalid @ s_kept) > 0.5
+        s_col = _suppress_slice(xyxya, xyxya_b, iou_thres, plus_one,
+                                quantized)                   # (n_pad, blk)
+        # prune by everything already kept: kept rows all rank before
+        # this block, so no explicit rank test is needed
+        pre_kill = (kept.astype(jnp.bfloat16) @ s_col) > 0.5
         v_b = v_row & ~pre_kill
         # block-internal DAG: this block vs itself
-        t_b = _suppress_slice(xyxya_b, xyxya_b, iou_thres, plus_one,
-                              quantized) * tri
+        t_b = jax.lax.dynamic_slice(s_col, (start, 0), (blk, blk)) * tri
 
         def cond(c):
             k, prev, it = c
@@ -201,16 +190,14 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
 
         k_b, _, _ = jax.lax.while_loop(
             cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
-        # append this block's kept boxes to the buffer (drops beyond cap
-        # are provably output-neutral, see docstring)
-        pos = jnp.where(k_b, kcount + jnp.cumsum(k_b) - 1, cap)
-        kbuf = tuple(a.at[pos].set(v, mode="drop")
-                     for a, v in zip(kbuf, xyxya_b))
-        kcount = kcount + jnp.sum(k_b)
-        return (kbuf, kcount), k_b
+        kept = jax.lax.dynamic_update_slice(
+            kept, k_b.astype(jnp.float32), (start,))
+        return kept, None
 
-    _, keepb = jax.lax.scan(blk_body, (kb0, kcount0), blkdat)
-    keep_sorted = keepb.reshape(n_pad)[:n] > 0.5
+    # carry init derived from the data (areasp*0) so its varying-axis
+    # type matches the body output under shard_map
+    kept, _ = jax.lax.scan(blk_body, areasp * jnp.float32(0), blkdat)
+    keep_sorted = kept[:n] > 0.5
     # truncate the survivor list to max_det in score order
     # (reference coord: i = i[:max_det])
     within = jnp.cumsum(keep_sorted.astype(jnp.int32)) <= max_det
