@@ -38,6 +38,9 @@ class NmsParams:
     # None = all candidates (the reference float path); the reference q_NMS
     # itself truncates to 1000 (stage_8_torch_full_quant.py:260).
     pre_topk: int = None  # type: ignore[assignment]
+    # greedy-NMS block width (power of two >= 128); purely a schedule
+    # knob — the keep-set is block-size-invariant (tested)
+    block: int = 128
     # Integer (q_NMS) mode: boxes are in anchor-scale units, scores in
     # 16-bit sigmoid units. `plus_one` is the +1 area term in those units.
     quantized: bool = False
@@ -105,7 +108,7 @@ def _suppress_slice(xyxya, xyxya_b, iou_thres, plus_one, quantized):
 
 
 def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
-                     quantized, presorted: bool = False):
+                     quantized, presorted: bool = False, block: int = 128):
     """Greedy NMS over score-sorted padded candidates.
 
     boxes: (N,4) xyxy (already class-offset); scores: (N,); valid: (N,)
@@ -140,7 +143,7 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     areas = (x2 - x1 + plus_one) * (y2 - y1 + plus_one)
 
-    blk = 128
+    blk = block
     n_blocks = -(-n // blk)
     n_pad = n_blocks * blk
 
@@ -264,7 +267,7 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
         # invalid ones at the end — the presorted fast path applies
         keep = _greedy_nms_mask(shifted, conf, valid, p.iou_thres,
                                 p.max_det, p.plus_one, p.quantized,
-                                presorted=True)
+                                presorted=True, block=p.block)
         # compact kept rows to the front, at most max_det of them
         order = jnp.argsort(~keep, stable=True)   # kept first, score order
         keep_sorted = keep[order]
