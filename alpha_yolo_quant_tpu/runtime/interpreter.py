@@ -91,13 +91,18 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
     return plan
 
 
-def quantize_input(x, k: int, per_image_amax: bool = False):
-    """Image -> int K-bit values (int32).
+def quantize_input(x, k: int, per_image_amax: bool = False,
+                   out_dtype=jnp.int8):
+    """Image -> int K-bit values.
 
     Default pins a=1 like the golden pipeline (reference
     utils/quant_matrix.py:70-72 start=True); per_image_amax reproduces the
     stage-8 runtime quirk of re-deriving a per image
     (stage_8_torch.py:510 with start=False).
+
+    out_dtype: int8 by default; the bf16-storage engines request bf16
+    directly (exact — every value is an integer <= 127), skipping an
+    int8 materialize + convert pass at the stem.
     """
     if k > 8:
         raise ValueError(f"k={k}: quantized inputs are carried as int8; "
@@ -109,7 +114,7 @@ def quantize_input(x, k: int, per_image_amax: bool = False):
         s = qmax / a
     else:
         a, s = 1.0, float(qmax)
-    return jnp.round(jnp.clip(x, -a, a) * s).astype(jnp.int8)
+    return jnp.round(jnp.clip(x, -a, a) * s).astype(out_dtype)
 
 
 def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
@@ -607,8 +612,10 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
             raise ValueError("partial-quant pipeline needs dfl_w_float")
         dfl_w = jnp.asarray(dfl_w_float, jnp.float32)
 
+    q_dt = jnp.bfloat16 if engine in ("auto", "packed") else jnp.int8
+
     def fn(images):
-        x_q = quantize_input(images, k)
+        x_q = quantize_input(images, k, out_dtype=q_dt)
         outs = int_forward(model, plan, x_q, engine=engine)
         if full:
             preds = decode_full_quant(model, plan, outs,
