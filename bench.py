@@ -49,13 +49,17 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # Chain iterations through a data dependency and fetch a scalar at the
     # end: the remote executor reports buffers "ready" lazily, so plain
     # block_until_ready over repeated identical calls can under-measure.
+    # The dependency touches ONE element (probe*0 is not foldable in f32
+    # because of NaN/inf semantics, so XLA cannot hoist the step out of
+    # the loop) — a full-tensor rewrite here costs ~1.5ms/iteration of
+    # pure harness overhead at batch 128.
     @jax.jit
     def chained(images, n_iters):
         def body(i, carry):
             imgs, acc = carry
             det, n_det = step_inner(imgs)
             probe = det[0, 0, 0]
-            imgs = jnp.where(probe > 1e30, imgs + 1.0, imgs)
+            imgs = imgs.at[0, 0, 0, 0].set(imgs[0, 0, 0, 0] + probe * 0)
             return (imgs, acc + probe)
         (_, acc) = jax.lax.fori_loop(0, n_iters, body, (images,
                                                         jnp.float32(0)))
