@@ -19,14 +19,20 @@ N_LO, N_HI = 10, 60
 def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
     @jax.jit
     def loop(x, n):
-        # n is a traced scalar: one compile serves every iteration count
+        # n is a traced scalar: one compile serves every iteration count.
+        # The dependency update touches ONE element per input leaf (s*0
+        # is not foldable in f32 — NaN/inf semantics — so fn cannot be
+        # hoisted out of the loop); a full-tensor rewrite here charges
+        # ~1.9ms/iteration of harness overhead at batch 128.
         def body(i, carry):
             x, acc = carry
             out = fn(x)
             leaf = jax.tree_util.tree_leaves(out)[0]
             s = leaf.reshape(-1)[0].astype(jnp.float32)
             x = jax.tree_util.tree_map(
-                lambda t: t + (s * 0).astype(t.dtype), x)
+                lambda t: t.reshape(-1).at[0].set(
+                    t.reshape(-1)[0] + (s * 0).astype(t.dtype)
+                ).reshape(t.shape), x)
             return x, acc + s
         return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
 
