@@ -194,14 +194,18 @@ def cmd_eval_int8(args):
     import jax
 
     from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
-    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+    from alpha_yolo_quant_tpu.runtime.interpreter import (
+        build_int_pipeline, eval_nms_params,
+    )
 
     cfg = _cfg(args)
     graph, params = _graph_params(args, cfg)
     max_a = _load_max_a(args)
     model = build_quantized_model(graph, params, max_a, cfg)
-    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
-                               engine=args.engine)
+    fn, _ = build_int_pipeline(
+        model, dfl_w_float=params["dfl"]["w"],
+        nms_params=eval_nms_params(model, args.conf_thres),
+        engine=args.engine)
     step = jax.jit(fn)
     _eval_common(args, step,
                  f"int{cfg.k}" + (" full-quant q_NMS" if cfg.full_quant
@@ -347,9 +351,9 @@ def main(argv=None):
         if name == "eval-int8":
             sp.add_argument("--max-a", required=True)
             sp.add_argument("--full-quant", action="store_true")
-            sp.add_argument("--engine", default="s8",
+            sp.add_argument("--engine", default="auto",
                             choices=["xla", "s8", "s8_nhwc", "nhwc",
-                                     "pallas", "fused", "auto"])
+                                     "pallas", "fused", "auto", "packed"])
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("memsim", help="SRAM allocation simulation")

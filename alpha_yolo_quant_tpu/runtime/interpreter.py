@@ -265,6 +265,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
                 if use_packed and node.stride in (1, 2) \
                         and node.kernel in (1, 3) \
+                        and node.padding == (1 if node.kernel == 3 else 0) \
                         and (node.stride == 1 or not wide):
                     entry = _packed_entry(model, plan, node,
                                           env[node.src].shape, _pc)
@@ -575,6 +576,24 @@ def cls_int_conf_threshold(model: QuantizedModel,
     return float(above[0] + lut.lo) - 0.5
 
 
+def eval_nms_params(model: QuantizedModel, conf_thres: float):
+    """NmsParams for the mAP protocol at a FLOAT confidence threshold.
+
+    The reference's mAP runs use conf 1e-8 through `coord`
+    (stage_8_torch.py:147) while its serving demo uses 0.25; the
+    full-quant path expresses the same cut in 16-bit sigmoid ints
+    (8192 = round(0.25 * 32767), utils/bbox_cls_functions.py:195-250).
+    This maps a float threshold onto whichever domain the model's NMS
+    runs in; build_int_pipeline then converts quantized params to the
+    deferred-sigmoid pre-sigmoid domain internally."""
+    from alpha_yolo_quant_tpu.postprocess.nms import NmsParams, q_nms_params
+
+    if model.cfg.full_quant:
+        return q_nms_params(model.head.anchor_scale,
+                            conf_thres_int=int(round(conf_thres * 32767)))
+    return NmsParams(conf_thres=conf_thres, pre_topk=1000)
+
+
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
                        engine: str = "xla"):
@@ -604,8 +623,16 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         else:
             nms_params = NmsParams(conf_thres=0.25)
     elif full and nms_params.quantized:
-        # custom q_NMS params keep the deferred-sigmoid fast path:
-        # conf_thres is interpreted in the PRE-sigmoid int domain
+        # Custom q_NMS params keep the deferred-sigmoid fast path. The
+        # caller's conf_thres is in the POST-sigmoid 16-bit int domain
+        # (q_nms_params contract: 8192 = 0.25 * 32767, reference
+        # stage_8_torch_full_quant.py:297-362); the fast path ranks
+        # PRE-sigmoid class scores, so convert the threshold through the
+        # sigmoid LUT (monotone, hence the cut is identical).
+        nms_params = dataclasses.replace(
+            nms_params,
+            conf_thres=cls_int_conf_threshold(
+                model, int(nms_params.conf_thres)))
         score_map = plan["head"]["cls_sig_lut"].apply
     if not full:
         if dfl_w_float is None:

@@ -115,3 +115,10 @@ def test_bitwidth_sweep_roundtrip(tmp_path, k):
     for role in graph.outputs:
         np.testing.assert_array_equal(np.asarray(got[role]),
                                       np.asarray(want[role]))
+    # the reloaded model also runs bit-identically through the packed
+    # Mosaic engine (the K=8 engine matrix lives in test_pallas_engine)
+    got_p = int_forward(loaded, device_plan(loaded, pallas=True), xq,
+                        engine="packed")
+    for role in graph.outputs:
+        np.testing.assert_array_equal(np.asarray(got_p[role]),
+                                      np.asarray(want[role]))

@@ -186,7 +186,6 @@ def test_scale_boxes_roundtrip():
 
 
 @ref_exists
-@ref_exists
 def test_greedy_mask_cap_overflow_parity():
     """More greedy survivors than max_det: the kept-box buffer drops
     appends beyond its cap, which must not change the TRUNCATED output —
@@ -208,6 +207,7 @@ def test_greedy_mask_cap_overflow_parity():
         == set(int(i) for i in want[:max_det])
 
 
+@ref_exists
 def test_greedy_mask_dense_clusters_parity():
     """Dense overlapping candidates produce deep suppression chains — the
     regime the blocked implementation restructures; keep-set must still

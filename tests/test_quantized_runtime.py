@@ -280,3 +280,59 @@ def test_reduce_cls_decode_equivalent():
     det_t, n_t = non_max_suppression(tup, p, score_map=smap)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_t))
     np.testing.assert_array_equal(np.asarray(det_p), np.asarray(det_t))
+
+
+def test_pipeline_custom_qnms_params_threshold_domain():
+    """build_int_pipeline with caller-supplied q_nms_params (conf_thres in
+    the POST-sigmoid 16-bit int domain, e.g. the documented 8192) must
+    produce the SAME detections as the default pipeline, which derives its
+    threshold internally — regression for the round-2 advisory where the
+    custom threshold was silently reinterpreted in the pre-sigmoid domain."""
+    from alpha_yolo_quant_tpu.postprocess.nms import q_nms_params
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = jnp.asarray(RNG.uniform(
+        0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
+    fn_default, _ = build_int_pipeline(model)
+    fn_custom, _ = build_int_pipeline(
+        model, nms_params=q_nms_params(model.head.anchor_scale))
+    det_d, n_d = fn_default(x)
+    det_c, n_c = fn_custom(x)
+    np.testing.assert_array_equal(np.asarray(n_d), np.asarray(n_c))
+    np.testing.assert_array_equal(np.asarray(det_d), np.asarray(det_c))
+
+
+def test_eval_nms_params_domains():
+    """eval_nms_params maps a float confidence threshold onto the domain
+    the model's NMS runs in (reference mAP protocol: coord at conf 1e-8,
+    stage_8_torch.py:147; q_NMS serving cut 8192 = round(0.25 * 32767))."""
+    from alpha_yolo_quant_tpu.runtime.interpreter import eval_nms_params
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    p = eval_nms_params(model, 0.25)
+    assert p.quantized and p.conf_thres == 8192.0
+    p8 = eval_nms_params(model, 1e-8)
+    assert p8.quantized and p8.conf_thres == 0.0
+
+    cfgp, graphp, paramsp, modelp = _setup(full_quant=False)
+    pf = eval_nms_params(modelp, 1e-8)
+    assert not pf.quantized and pf.conf_thres == 1e-8
+
+
+def test_eval_nms_params_threshold_reaches_nms():
+    """The mAP threshold must actually change the candidate cut: at conf
+    1e-8 every anchor with a nonzero class score is an NMS candidate,
+    while an impossibly high threshold yields zero detections."""
+    from alpha_yolo_quant_tpu.runtime.interpreter import eval_nms_params
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = jnp.asarray(RNG.uniform(
+        0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
+    fn_lo, _ = build_int_pipeline(model,
+                                  nms_params=eval_nms_params(model, 1e-8))
+    fn_hi, _ = build_int_pipeline(model,
+                                  nms_params=eval_nms_params(model, 0.9999))
+    _, n_lo = fn_lo(x)
+    _, n_hi = fn_hi(x)
+    assert int(np.asarray(n_lo).sum()) > 0
+    assert int(np.asarray(n_lo).sum()) >= int(np.asarray(n_hi).sum())
