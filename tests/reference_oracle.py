@@ -19,11 +19,15 @@ REF = "/root/reference/quantisation"
 _PKG = "yolov8n_quantisation"
 
 
-def _ensure_pkg(name: str):
+def _ensure_pkg(name: str, path: str | None = None):
     if name not in sys.modules:
         mod = types.ModuleType(name)
         mod.__path__ = []
         sys.modules[name] = mod
+    if path is not None and path not in sys.modules[name].__path__:
+        # real search path so stage scripts' `from ...utils.X import *`
+        # resolve submodules through the normal import machinery
+        sys.modules[name].__path__.append(path)
     return sys.modules[name]
 
 
@@ -36,8 +40,8 @@ _BASE_LEAVES = ("stage_0", "utils.scale", "utils.a", "utils.clip")
 def load(leaf: str):
     """Load e.g. 'utils.rescale_coeff' from the reference tree."""
     _ensure_pkg(_PKG)
-    _ensure_pkg(f"{_PKG}.quantisation")
-    _ensure_pkg(f"{_PKG}.quantisation.utils")
+    _ensure_pkg(f"{_PKG}.quantisation", REF)
+    _ensure_pkg(f"{_PKG}.quantisation.utils", os.path.join(REF, "utils"))
     if leaf not in _BASE_LEAVES:
         for base in _BASE_LEAVES:
             load(base)

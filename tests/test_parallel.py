@@ -100,3 +100,46 @@ def test_shard_map_serving_step_matches_local():
     np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_l))
     np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_l),
                                rtol=1e-6)
+
+
+def test_two_process_distributed_parity():
+    """Multi-host for real (SURVEY §2.9): two OS processes x 4 virtual CPU
+    devices each, joined by jax.distributed over a localhost coordinator
+    (the DCN analog). Exercises initialize_multihost, the cross-process
+    calibration all-reduce, the DP serving step under shard_map, and a
+    detection all-gather — each worker asserts parity with the
+    single-process result (see tests/_multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "PALLAS_AXON_POOL_IPS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(here, "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coordinator, str(i), "2"],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {i} failed:\n{err[-4000:]}"
+    assert "MULTIHOST_OK" in outs[0][1], outs[0]
