@@ -150,9 +150,11 @@ def cmd_quantize(args):
     print(f"quantized artifacts -> {args.out}")
 
 
-def _eval_common(args, step, comment, stage):
+def _eval_common(args, step, comment, stage, csv_tag):
     from alpha_yolo_quant_tpu.data.coco import CocoValDataset
     from alpha_yolo_quant_tpu.eval.harness import evaluate
+    from alpha_yolo_quant_tpu.eval.plots import plot_run_results
+    from alpha_yolo_quant_tpu.eval.records import save_csv_tables
     from alpha_yolo_quant_tpu.export.artifacts import make_dirs
     from alpha_yolo_quant_tpu.utils.run_log import write_run_result
 
@@ -165,6 +167,14 @@ def _eval_common(args, step, comment, stage):
           f"{res.images_per_s_wall:.1f} img/s wall)")
     make_dirs(args.out)
     write_run_result(args.out, res.map50_95, stage, comment)
+    # reference reporting contract: per-run det/ann CSV tables + the
+    # cross-run mAP plot (stage_3.py:48-49, stage_8_torch.py:1020-1026,
+    # utils/plot_run_results.py:29-61)
+    ann_p, det_p = save_csv_tables(res.ann_rows, res.det_rows, args.out,
+                                   csv_tag)
+    print(f"tables -> {ann_p}, {det_p}")
+    if stage != 4:
+        print(f"run plot -> {plot_run_results(args.out)}")
     return res
 
 
@@ -187,7 +197,7 @@ def cmd_eval_float(args):
         return non_max_suppression(
             preds, NmsParams(conf_thres=args.conf_thres, pre_topk=1000))
 
-    _eval_common(args, step, "fp32 BN-fused", 4)
+    _eval_common(args, step, "fp32 BN-fused", 4, "orig")
 
 
 def cmd_eval_int8(args):
@@ -209,7 +219,8 @@ def cmd_eval_int8(args):
     step = jax.jit(fn)
     _eval_common(args, step,
                  f"int{cfg.k}" + (" full-quant q_NMS" if cfg.full_quant
-                                  else " float NMS"), 7)
+                                  else " float NMS"), 7,
+                 f"QUANT_{cfg.k}_channel")
 
 
 def cmd_memsim(args):

@@ -31,6 +31,10 @@ class EvalResult:
     images_per_s: float          # device-step time only
     images_per_s_wall: float = 0.0   # host-inclusive: decode+feed+metrics
     wall_s: float = 0.0
+    # raw metric rows, kept for the reference's CSV archival contract
+    # (records.save_csv_tables; stage_3.py:48-49, stage_8_torch.py:1026)
+    ann_rows: List[list] = dataclasses.field(default_factory=list)
+    det_rows: List[list] = dataclasses.field(default_factory=list)
 
 
 def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
@@ -81,4 +85,4 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
     return EvalResult(map50_95=m, per_iou=per_iou, n_images=n_img,
                       images_per_s=n_img / t_dev if t_dev else 0.0,
                       images_per_s_wall=n_img / wall if wall else 0.0,
-                      wall_s=wall)
+                      wall_s=wall, ann_rows=ann_rows, det_rows=det_rows)

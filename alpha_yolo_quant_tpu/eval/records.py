@@ -58,6 +58,33 @@ def annotation_rows(image_id, boxes_xywh: Sequence[Sequence[float]],
     return rows
 
 
+def save_csv_tables(ann_rows: List[list], det_rows: List[list],
+                    out_dir: str, tag: str):
+    """Persist the per-run detection/annotation tables like the
+    reference's CSV archival (stage_3.py:48-49, stage_8_torch.py:
+    1020-1026). Column order matches the reference DataFrames —
+    XMin,YMin,XMax,YMax,ImageID,LabelName[,Conf] (utils/coco.py:166-175);
+    file names follow ann_orig/det_orig and det_QUANT_{K}_channel."""
+    import csv
+    import os
+
+    os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+    ann_path = os.path.join(out_dir, "results", f"ann_{tag}.csv")
+    det_path = os.path.join(out_dir, "results", f"det_{tag}.csv")
+    with open(ann_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["XMin", "YMin", "XMax", "YMax", "ImageID", "LabelName"])
+        for r in ann_rows:  # [id, label, x1, y1, x2, y2]
+            w.writerow([r[2], r[3], r[4], r[5], r[0], r[1]])
+    with open(det_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["XMin", "YMin", "XMax", "YMax", "ImageID", "LabelName",
+                    "Conf"])
+        for r in det_rows:  # [id, label, conf, x1, y1, x2, y2]
+            w.writerow([r[3], r[4], r[5], r[6], r[0], r[1], r[2]])
+    return ann_path, det_path
+
+
 def to_metric_arrays(ann_rows: List[list], det_rows: List[list]):
     """Pack rows for eval.metrics (ann: id,label,x1,y1,x2,y2;
     det: id,label,conf,x1,y1,x2,y2)."""

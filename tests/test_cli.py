@@ -64,6 +64,16 @@ def test_eval_int8_on_synthetic_coco(art, tmp_path):
               "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
     assert os.path.exists(os.path.join(art, "results", "runs_val",
                                        "results.txt"))
+    # reporting contract: per-run CSV tables (reference det_QUANT_{K}_
+    # channel.csv naming) + the cross-run mAP plot
+    ann_csv = os.path.join(art, "results", "ann_QUANT_8_channel.csv")
+    det_csv = os.path.join(art, "results", "det_QUANT_8_channel.csv")
+    assert os.path.exists(ann_csv) and os.path.exists(det_csv)
+    with open(det_csv) as f:
+        assert f.readline().strip() == \
+            "XMin,YMin,XMax,YMax,ImageID,LabelName,Conf"
+    assert os.path.exists(os.path.join(art, "results", "runs_val",
+                                       "runs.png"))
 
 
 def test_eval_float_on_synthetic_coco(art, tmp_path):
@@ -76,6 +86,8 @@ def test_eval_float_on_synthetic_coco(art, tmp_path):
               "--coco-ann", ann, "--batch-size", "2", "--limit", "4"])
     assert os.path.exists(os.path.join(art, "results",
                                        "ORIG_MODEL_MAP.txt"))
+    assert os.path.exists(os.path.join(art, "results", "ann_orig.csv"))
+    assert os.path.exists(os.path.join(art, "results", "det_orig.csv"))
 
 
 def test_prepare_from_synthetic_torch_checkpoint(tmp_path):
