@@ -42,28 +42,34 @@ def make_dirs(out: str) -> None:
 def _first_pixel_trace(path: str, x: np.ndarray, w: np.ndarray,
                        b: np.ndarray, padding: int) -> np.int64:
     """Naive recomputation of output pixel (0,0,0,0) with its inputs
-    (reference utils/conv2d_print_fp.py:15-48)."""
+    (reference utils/conv2d_print_fp.py:15-48).
+
+    Dtype quirk reproduced for byte parity: the reference pads into a
+    default-FLOAT64 np.zeros (conv2d_print_fp.py:6), so padded (3x3)
+    layers print the IMG patch and CUR RESULT as floats, while unpadded
+    (1x1) layers use the int array directly and print ints; FIRST_PIXEL
+    accumulates in float64 either way."""
     if padding:
         xp = np.zeros((x.shape[0], x.shape[1], x.shape[2] + 2 * padding,
-                       x.shape[3] + 2 * padding), np.int64)
+                       x.shape[3] + 2 * padding))          # float64
         xp[:, :, padding:padding + x.shape[2],
-           padding:padding + x.shape[3]] = x
+           padding:padding + x.shape[3]] += x
     else:
         xp = np.int64(x)
     kh, kw = w.shape[2], w.shape[3]
-    total = np.int64(0)
+    total = np.float64(0)
     with open(path, "w") as f:
         for c in range(x.shape[1]):
             layer = xp[0, c, :kh, :kw]
             weight = np.int64(w[0, c])
-            part = np.sum(layer * weight)
+            part = np.sum(np.multiply(layer, weight))
             total += part
             f.write(f"IMG {c}:\n{layer}\n")
             f.write(f"CONV {c}:\n{weight}\n")
             f.write(f"CUR RESULT_{c}: {part}\n\n")
-        total = total + np.int64(b[0])
-        f.write(f"\nFIRST_PIXEL: {np.float64(total)}, BIAS: {b[0]}\n\n")
-    return total
+        total = total + np.float64(b[0])
+        f.write(f"\nFIRST_PIXEL: {total}, BIAS: {b[0]}\n\n")
+    return np.int64(total)
 
 
 def _fp_append_rescale(path: str, value: np.ndarray, rescale, shift,
@@ -131,7 +137,9 @@ def export_all(model: QuantizedModel, env: Dict[str, np.ndarray],
         model, params,
         os.path.join(out_dir, "results", f"QUANT_WEIGHTS_{k}.pickle"))
     if not cfg.full_quant:
-        dump_gz_pickle(np.asarray(params["dfl"]["w"], np.float64),
+        # dtype-native f32: the reference dumps weights_activ's float32
+        # 'dfl.weight' array as-is (stage_6.py:618 save_in_file)
+        dump_gz_pickle(np.asarray(params["dfl"]["w"], np.float32),
                        os.path.join(out_dir, "weights_pickle", "dfl.pickle"))
 
     for idx, node in enumerate(g.nodes):
@@ -200,6 +208,58 @@ def export_all(model: QuantizedModel, env: Dict[str, np.ndarray],
         elif isinstance(node, MaxPoolNode):
             verilog.save_txt_activations(env[node.dst], node.label, out_dir,
                                          "act_silu", k, silu=True, warn=warn)
+
+    if cfg.full_quant and model.head is not None:
+        _export_full_quant_head(model, env, out_dir, warn)
+
+
+def _export_full_quant_head(model: QuantizedModel, env: Dict,
+                            out_dir: str, warn) -> None:
+    """The 6b-only head artifacts (reference stage_6_full_quant.py:
+    596-761): per-level box requants to the fixed DFL scale
+    ('{up}_REQUANT', 8-bit, silu dir), 16-bit cls requants to scale(12,16)
+    (conv2d dir), and the quantized-DFL conv set — weight txt with a fake
+    zero bias, first-pixel trace over the softmax ints, its scale pickle,
+    and the 16-bit anchor-scale requant dump."""
+    import os
+
+    from alpha_yolo_quant_tpu.export.pickles import dump_gz_pickle
+    from alpha_yolo_quant_tpu.runtime.golden import head_intermediates_np
+    from alpha_yolo_quant_tpu.runtime.interpreter import head_conv_name
+
+    h = model.head
+    k = model.cfg.k
+    it = head_intermediates_np(model, env)
+    for level in ("p3", "p4", "p5"):
+        d = it["levels"][level]
+        up_name = head_conv_name(f"{level}_box")
+        dn_name = head_conv_name(f"{level}_cls")
+        verilog.save_txt_activations(d["bq"], f"{up_name}_REQUANT",
+                                     out_dir, "act_conv", k, silu=True,
+                                     warn=warn)
+        verilog.save_txt_rescale_shift(d["bq"], d["b_r"], d["b_s"],
+                                       f"{up_name}_REQUANT", out_dir,
+                                       "act_conv", k, silu=True, warn=warn)
+        verilog.save_txt_activations(d["cq"], dn_name, out_dir, "act_conv",
+                                     16, warn=warn)
+        verilog.save_txt_rescale_shift(d["cq"], d["c_r"], d["c_s"],
+                                       dn_name, out_dir, "act_conv", 16,
+                                       warn=warn)
+
+    dfl_w4 = np.int64(h.dfl_w_q).reshape(1, 16, 1, 1)
+    fake_bias = np.zeros((1, 16, 1, 1), np.int64)
+    verilog.save_txt_weight(dfl_w4, fake_bias, "dfl", "Conv2D", k,
+                            out_dir, warn=warn)
+    _first_pixel_trace(os.path.join(out_dir, "first_pixel", "dfl_fp.txt"),
+                       it["p"], dfl_w4, np.zeros(16, np.int64), 0)
+    dump_gz_pickle(
+        np.float64(h.dfl_acc_scale).reshape(1, 1, 1, 1),
+        os.path.join(out_dir, "bias_scales", "dfl_scale.pickle"))
+    verilog.save_txt_activations(it["dfl_q4"], "dfl", out_dir, "act_conv",
+                                 16, warn=warn)
+    verilog.save_txt_rescale_shift(it["dfl_q4"], it["dfl_r"], it["dfl_s"],
+                                   "dfl", out_dir, "act_conv", 16,
+                                   warn=warn)
 
 
 def _recompute_acc0(x_int: np.ndarray, plan, node: ConvNode) -> np.int64:

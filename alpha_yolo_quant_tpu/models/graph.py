@@ -75,12 +75,20 @@ class ResidualAddNode:
 class ConcatNode:
     """Channel concat. Every input whose edge differs from `scale_from` is
     requantized to `scale_from`'s scale first (reference stage_6.py:397-403,
-    438-444, 478-481, 515-518). `label` names export artifacts."""
+    438-444, 478-481, 515-518). `label` names export artifacts.
+
+    `declared_scale_from`: the full-quant reference requantizes the fresh
+    conv's data into the OTHER participant's scale but never updates the
+    scale variable it passes downstream (stage_6_full_quant.py:530-531,
+    567-568 then :541/:579 reuse the stale ``scale_result_3``) — so the
+    DECLARED output scale can differ from the actual data scale. None =
+    consistent (declared == scale_from)."""
 
     srcs: Tuple[str, ...]
     scale_from: str
     dst: str
     label: str
+    declared_scale_from: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,8 +290,13 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
     # requantizes the skip into the fresh conv's scale; full-quant the
     # opposite. Concat ORDER is identical.
     sf_3x4 = "c2f12" if cfg.full_quant else "p3d"
-    nodes.append(ConcatNode(("p3d", "c2f12"), scale_from=sf_3x4,
-                            dst="cat_3x4", label="CONCAT_3X4"))
+    nodes.append(ConcatNode(
+        ("p3d", "c2f12"), scale_from=sf_3x4, dst="cat_3x4",
+        label="CONCAT_3X4",
+        # full-quant stale-scale quirk: data lands in c2f12's scale but
+        # C2F_18_conv_0 consumes it at the fresh conv's scale
+        # (stage_6_full_quant.py:530-541)
+        declared_scale_from="p3d" if cfg.full_quant else None))
     c2f("C2F_18", [9], "cat_3x4", "c2f18", c3 + c4, c4, c4,
         dict(conv0_key_i=12, conv1_key_i=13, own="cf2_conv_12",
              b=["cf2_bottle_9", "cf2_bottle_90"], last="cf2_conv_13",
@@ -292,8 +305,10 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
     conv("Conv_19", "conv9.0", "c2f18", "p4d", c4, c4, 3, 2, 1, True,
          "conv9", "cf2_conv_14")
     sf_sppf = "sppf" if cfg.full_quant else "p4d"
-    nodes.append(ConcatNode(("p4d", "sppf"), scale_from=sf_sppf,
-                            dst="cat_sppfx3", label="CONCAT_SPPFx3"))
+    nodes.append(ConcatNode(
+        ("p4d", "sppf"), scale_from=sf_sppf, dst="cat_sppfx3",
+        label="CONCAT_SPPFx3",
+        declared_scale_from="p4d" if cfg.full_quant else None))
     c2f("C2F_21", [10], "cat_sppfx3", "c2f21", c4 + c5, c5, c5,
         dict(conv0_key_i=14, conv1_key_i=15, own="cf2_conv_14",
              b=["cf2_bottle_10", "cf2_bottle_101"], last="cf2_conv_15",

@@ -62,25 +62,31 @@ def load_raw_from_values(graph: Graph, values: Sequence[np.ndarray]) -> Dict:
 
 
 def fuse_batchnorm(graph: Graph, raw: Dict) -> Dict:
-    """w' = gamma*w/sqrt(var+eps); b' = beta - gamma*mean/sqrt(var+eps)
+    """w' = gamma*w/sqrt(var+eps); b' = beta + gamma*(-mean)/sqrt(var+eps)
     per output channel (reference utils/batch_norm.py:25-36, eps=0.001).
-    float64 on host so the fused weights match the reference bit-for-bit."""
+
+    Computed in FLOAT32 with the reference's exact expression order
+    (multiply by gamma, then divide by the f32 sqrt — no reciprocal
+    hoist): the reference fuses the f32 state dict in f32 numpy, and a
+    f64 round-trip flips one-ULP ties in the fused weights, which the
+    quantizer then amplifies into off-by-one int weights."""
     fused: Dict[str, Dict[str, np.ndarray]] = {}
     for node in graph.convs():
         p = raw[node.key]
-        w = np.asarray(p["w"], np.float64)
+        w = np.asarray(p["w"], np.float32)
         if conv_has_bn(node):
-            g = np.asarray(p["gamma"], np.float64)
-            be = np.asarray(p["beta"], np.float64)
-            mu = np.asarray(p["mean"], np.float64)
-            var = np.asarray(p["var"], np.float64)
-            inv = g / np.sqrt(var + BN_EPS)
+            g = np.asarray(p["gamma"], np.float32)
+            be = np.asarray(p["beta"], np.float32)
+            mu = np.asarray(p["mean"], np.float32)
+            var = np.asarray(p["var"], np.float32)
+            den = np.sqrt(var + BN_EPS)          # f32 (weak python eps)
             fused[node.key] = {
-                "w": (w * inv[:, None, None, None]).astype(np.float32),
-                "b": (be - mu * inv).astype(np.float32),
+                "w": (g[:, None, None, None] * w) / den[:, None, None,
+                                                        None],
+                "b": ((g * (-mu)) / den) + be,
             }
         else:
-            fused[node.key] = {"w": w.astype(np.float32),
+            fused[node.key] = {"w": w,
                                "b": np.asarray(p["b"], np.float32)}
     fused["dfl"] = {"w": np.asarray(raw["dfl"]["w"], np.float32)}
     return fused

@@ -39,9 +39,9 @@ def model_from_artifacts(out_dir: str, cfg: QuantConfig,
         override[node.name] = (w_q, b_q, scales[node.name])
 
     dfl_path = os.path.join(wp, "dfl.pickle")
-    dfl_w = (np.asarray(load_gz_pickle(dfl_path), np.float64)
+    dfl_w = (np.asarray(load_gz_pickle(dfl_path))   # dtype-native (f32)
              if os.path.exists(dfl_path)
-             else np.arange(16, dtype=np.float64).reshape(1, 16, 1, 1))
+             else np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1))
     params = {"dfl": {"w": dfl_w}}
     return build_quantized_model(graph, params, max_a, cfg,
                                  weights_override=override)
@@ -71,6 +71,6 @@ def model_from_packed_state_dict(out_dir: str, cfg: QuantConfig,
         override[node.name] = (np.int64(sd[f"{node.key}.weight"]),
                                np.int64(sd[f"{node.key}.bias"]),
                                scales[node.name])
-    params = {"dfl": {"w": np.asarray(sd["dfl.weight"], np.float64)}}
+    params = {"dfl": {"w": np.asarray(sd["dfl.weight"])}}   # dtype-native
     return build_quantized_model(graph, params, max_a, cfg,
                                  weights_override=override)

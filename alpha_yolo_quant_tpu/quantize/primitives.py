@@ -49,15 +49,28 @@ def quant_matrix(matrix: np.ndarray, k: int, start: bool = False):
     domain, reference utils/quant_matrix.py:70-72).
 
     Returns (int64 matrix, scales of shape (dim0, 1)).
+
+    DTYPE-FOLLOWING on purpose: the reference quantizes the float32 state
+    dict AS float32 — ``a`` is an f32 numpy scalar, ``(2^(K-1)-1)/a``
+    stays f32 under NEP50, and the clip*scale product rounds in f32
+    (utils/quant_matrix.py:66-77 over weights_activ's f32 arrays) — while
+    float64 inputs flow through in f64. Promoting to f64 here flips
+    rounding at ties and breaks byte parity of the whole export tree
+    (caught by the stage-6 whole-tree diff). The returned scales array is
+    f64 *storage* of those dtype-native values, like the reference's
+    ``all_scales`` accumulator.
     """
-    m = np.asarray(matrix, np.float64)
+    m = np.asarray(matrix)
     n = m.shape[0]
     scales = np.zeros((n, 1), np.float64)
     out = np.zeros(m.shape, np.int64)
     for i in range(n):
-        a = 1.0 if start else float(np.abs(m[i]).max())
-        s = scale_for(a, k)
-        scales[i, 0] = s
+        # reference: a = abs(m).max() (dtype-native scalar) or the python
+        # int 1 for start=True — int keeps the scale a weak python float
+        # so the product stays in the input dtype
+        a = 1 if start else np.abs(m[i]).max()
+        s = (2 ** (k - 1) - 1) / a
+        scales[i, 0] += s
         clipped = np.clip(m[i], -a, a)
         out[i] = np.int64(np.round(clipped * s))
     return out, scales

@@ -178,8 +178,9 @@ def build_quantized_model(graph: Graph, params: Dict,
                 w_scales = (acc_scale.reshape(-1) / in_s)[:, None]
             else:
                 p = params[node.key]
-                w_q, w_scales = quant_matrix(np.asarray(p["w"], np.float64),
-                                             k)
+                # dtype-native: the reference quantizes the f32 state dict
+                # in f32 (see primitives.quant_matrix docstring)
+                w_q, w_scales = quant_matrix(np.asarray(p["w"]), k)
                 bias_scale = (in_s * w_scales[:, 0])      # (C_out,)
                 b_q = quant_bias(np.asarray(p["b"], np.float64), bias_scale)
                 acc_scale = bias_scale.reshape(1, -1, 1, 1)
@@ -260,7 +261,11 @@ def build_quantized_model(graph: Graph, params: Dict,
                     amax = max(amax, qmax)
                 else:
                     amax = max(amax, edge_amax[e])
-            edge_scale[node.dst] = tgt
+            # full-quant stale-scale quirk: the reference requantizes the
+            # data to `scale_from`'s scale but hands the consumer the
+            # OTHER participant's scale variable (see ConcatNode docs)
+            edge_scale[node.dst] = edge_scale[node.declared_scale_from] \
+                if node.declared_scale_from else tgt
             edge_amax[node.dst] = amax
         elif isinstance(node, (MaxPoolNode, UpsampleNode)):
             edge_scale[node.dst] = edge_scale[node.src]
@@ -308,8 +313,8 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
     exp = exponent_lut(cfg.dfl_max, 8)
     cls_sig = sigmoid_lut(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
 
-    dfl_w = np.asarray(params["dfl"]["w"], np.float64)
-    dfl_w_q, dfl_w_scales = quant_matrix(dfl_w, cfg.k)
+    dfl_w = np.asarray(params["dfl"]["w"])   # dtype-native (reference
+    dfl_w_q, dfl_w_scales = quant_matrix(dfl_w, cfg.k)   # dfl_quant:129-131)
     dfl_acc_scale = float(127.0 * dfl_w_scales[0, 0])  # softmax scale is 127
     anchor_scale = scale_for(_anchor_max(cfg.image_size), 16)
     r, s = derive_rescale_shift(np.float64(dfl_acc_scale), anchor_scale,

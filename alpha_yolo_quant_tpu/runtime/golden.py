@@ -169,14 +169,16 @@ def decode_partial_np(model: QuantizedModel, env: Dict) -> np.ndarray:
     return np.concatenate((dbox, cls), 1)
 
 
-def decode_full_quant_np(model: QuantizedModel, env: Dict) -> np.ndarray:
-    """Fully-quantized head in the golden int64/float64 semantics
-    (reference stage_6_full_quant tail; see SURVEY.md §2.3.7-8). Returns
-    (B, 84, N) with boxes in anchor-scale units and 16-bit sigmoid class
-    units — the q_NMS input domain."""
+def head_intermediates_np(model: QuantizedModel, env: Dict) -> Dict:
+    """The 6b head tail with every intermediate the reference exports
+    (stage_6_full_quant.py:596-761): per-level 8-bit box requants and
+    16-bit cls requants with their rescale/shift arrays, the integer
+    softmax probabilities ``p``, and the DFL output requantized to the
+    anchor scale (4D via the reference's (1,1,1,1)-scale broadcast)."""
     from alpha_yolo_quant_tpu.runtime.interpreter import head_conv_name
 
     h = model.head
+    out: Dict = {"levels": {}}
     boxes, clss, shapes = [], [], []
     for level in ("p3", "p4", "p5"):
         bacc = np.int64(env[f"{level}_box"])
@@ -184,10 +186,12 @@ def decode_full_quant_np(model: QuantizedModel, env: Dict) -> np.ndarray:
         shapes.append((bacc.shape[2], bacc.shape[3]))
         up = model.convs[head_conv_name(f"{level}_box")]
         dn = model.convs[head_conv_name(f"{level}_cls")]
-        bq, _, _ = requantize_np(bacc, up.acc_scale, h.box_scale, 8,
-                                 model.cfg.koeff_bits)
-        cq, _, _ = requantize_np(cacc, dn.acc_scale, h.cls_scale, 16,
-                                 model.cfg.koeff_bits)
+        bq, b_r, b_s = requantize_np(bacc, up.acc_scale, h.box_scale, 8,
+                                     model.cfg.koeff_bits)
+        cq, c_r, c_s = requantize_np(cacc, dn.acc_scale, h.cls_scale, 16,
+                                     model.cfg.koeff_bits)
+        out["levels"][level] = {"bq": bq, "b_r": b_r, "b_s": b_s,
+                                "cq": cq, "c_r": c_r, "c_s": c_s}
         b = bq.shape[0]
         boxes.append(bq.reshape(b, 64, -1))
         clss.append(cq.reshape(b, 80, -1))
@@ -204,10 +208,26 @@ def decode_full_quant_np(model: QuantizedModel, env: Dict) -> np.ndarray:
     p = np.int64(e / ssum * 127)
 
     acc = np.einsum("brcn,r->bcn", p, np.int64(h.dfl_w_q).reshape(16))
-    dfl_q, _, _ = requantize_np(acc, np.float64(h.dfl_acc_scale),
-                                h.anchor_scale, 16, model.cfg.koeff_bits)
-    anchors, strides = _np_make_anchors(shapes)
+    # (1,1,1,1) old-scale array: the broadcast promotes the (b,4,n) DFL
+    # to 4D exactly like the reference (stage_6_full_quant.py:757-758)
+    dfl_q4, dfl_r, dfl_s = requantize_np(
+        acc, np.float64(h.dfl_acc_scale).reshape(1, 1, 1, 1),
+        h.anchor_scale, 16, model.cfg.koeff_bits)
+    out.update(p=p, cls=cls, shapes=shapes, dfl_q4=dfl_q4, dfl_r=dfl_r,
+               dfl_s=dfl_s)
+    return out
+
+
+def decode_full_quant_np(model: QuantizedModel, env: Dict) -> np.ndarray:
+    """Fully-quantized head in the golden int64/float64 semantics
+    (reference stage_6_full_quant tail; see SURVEY.md §2.3.7-8). Returns
+    (B, 84, N) with boxes in anchor-scale units and 16-bit sigmoid class
+    units — the q_NMS input domain."""
+    h = model.head
+    it = head_intermediates_np(model, env)
+    anchors, strides = _np_make_anchors(it["shapes"])
     anchors_q = np.round(anchors * h.anchor_scale)
-    dbox = _np_dist2bbox(np.float64(dfl_q), anchors_q[None]) * strides
-    cls_sig = h.cls_sigmoid_lut.apply_np(cls)
+    dbox = _np_dist2bbox(np.float64(it["dfl_q4"][0]),
+                         anchors_q[None]) * strides
+    cls_sig = h.cls_sigmoid_lut.apply_np(it["cls"])
     return np.concatenate((dbox, np.float64(cls_sig)), 1)
