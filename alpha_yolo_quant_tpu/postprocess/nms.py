@@ -211,7 +211,8 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     return keep_sorted
 
 
-def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
+def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
+                       int_scores=False):
     """pred: (84, N) plane, or a pre-reduced (boxes_xywh (4,N), conf (N,),
     cls (N,)) tuple (decode_full_quant(reduce_cls=True) serving path) ->
     fixed-size top-k candidate set, score-sorted.
@@ -224,15 +225,31 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None):
         cls_scores = pred[4:]                  # (80, N)
         conf = jnp.max(cls_scores, axis=0)
         cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
+    n = conf.shape[0]
+    m = min(pre_topk or max_nms, max_nms, n)
+    if int_scores and n <= (1 << 14):
+        # q_NMS fast path: scores are integer-valued (16-bit sigmoid ints,
+        # or pre-sigmoid requantized ints in [-(2^15-1), 2^15-1]). Pack
+        # (score + 2^15) << 14 | (n-1-idx) into ONE int32 key (17+14 bits)
+        # and run a single descending sort: same descending-score,
+        # lowest-index-first order as the stable argsort, but the sorted
+        # scores fall out of the keys (no gather) and an int sort is ~3x
+        # cheaper than f32 argsort+gather on this backend (r3_nms.log:
+        # 0.67 vs 2.16 ms at (128, 8400)).
+        key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
+            | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+        skey = -jnp.sort(-key)[:m]
+        conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
+        idx = (n - 1) - (skey & ((1 << 14) - 1))
+        # validity re-derived from sorted scores: the conf_thres cut is
+        # monotone in score, so valid candidates still precede invalid
+        return box[idx], conf_s, cls[idx], conf_s > conf_thres
     valid = conf > conf_thres
-    m = min(pre_topk or max_nms, max_nms, conf.shape[0])
     score_for_sort = jnp.where(valid, conf, -jnp.inf)
     # argsort-based top-k: XLA's batched TopK lowering is catastrophically
     # slow on this backend for large k (measured 19s vs 4.5ms at
     # (128, 8400) k=1000); a full descending sort is cheap and gives the
     # stable lowest-index tie order the NMS rank matrix assumes.
-    # (A packed single-int-key sort was tried and reverted: the key needs
-    # 32 score bits + 14 index bits and the device runtimes are int32.)
     idx = jnp.argsort(-score_for_sort)[:m]
     return box[idx], conf[idx], cls[idx], valid[idx]
 
@@ -260,7 +277,8 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
 
     def single(pred):
         boxes, conf, cls, valid = _select_candidates(
-            pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk)
+            pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk,
+            int_scores=p.quantized)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
         # _select_candidates returns descending-score candidates with the

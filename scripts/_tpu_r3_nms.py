@@ -61,7 +61,7 @@ def s2(args):
     bx, sc, cl = args
 
     def single(bxy, s, c):
-        box = bxy.T
+        box = bxy                      # (1000, 4) xyxy
         off = c * 7680.0
         keep = _greedy_nms_mask(box + off[:, None], s,
                                 jnp.ones(1000, bool), 0.45, 300,

@@ -226,3 +226,63 @@ def test_greedy_mask_dense_clusters_parity():
         jnp.asarray(boxes, jnp.float32), jnp.asarray(scores, jnp.float32),
         jnp.ones(n, bool), 0.45, 600, 1.0, False))
     assert set(np.nonzero(keep)[0].tolist()) == set(int(i) for i in want)
+
+
+def test_int_key_candidate_sort_matches_argsort():
+    """The q_NMS packed-int-key candidate sort must reproduce the stable
+    argsort selection EXACTLY: descending score, lowest-index-first ties,
+    valid-before-invalid — across negative pre-sigmoid scores, heavy
+    ties, and sub-threshold candidates."""
+    from alpha_yolo_quant_tpu.postprocess.nms import _select_candidates
+
+    rng = np.random.default_rng(3)
+    n = 8400
+    for name, lo, hi, thres in (("post-sigmoid", 0, 32767, 8192.0),
+                                ("pre-sigmoid", -32767, 32767, -31.5),
+                                ("ties", 0, 50, 10.0)):
+        conf = rng.integers(lo, hi + 1, n).astype(np.float32)
+        bxywh = rng.uniform(0, 640 * 412, (4, n)).astype(np.float32)
+        cls = rng.integers(0, 80, n).astype(np.float32)
+        pred = (jnp.asarray(bxywh), jnp.asarray(conf), jnp.asarray(cls))
+        ref = _select_candidates(pred, 30000, jnp.float32(thres), 1000,
+                                 int_scores=False)
+        got = _select_candidates(pred, 30000, jnp.float32(thres), 1000,
+                                 int_scores=True)
+        n_valid = int(np.asarray(ref[3]).sum())
+        for a, b, what in zip(ref, got, ("boxes", "conf", "cls", "valid")):
+            # identical on every VALID row; invalid tail rows may be
+            # ordered differently (the argsort path orders -inf-masked
+            # rows arbitrarily) and are masked out downstream
+            np.testing.assert_array_equal(
+                np.asarray(a)[:n_valid], np.asarray(b)[:n_valid],
+                err_msg=f"{name}: {what}")
+        np.testing.assert_array_equal(np.asarray(ref[3]),
+                                      np.asarray(got[3]), err_msg=name)
+
+
+def test_q_nms_detections_unchanged_by_int_key_sort():
+    """End-to-end q_NMS detections identical with the int-key selection
+    (quantized=True engages it) vs the argsort selection forced."""
+    import dataclasses as dc
+
+    from alpha_yolo_quant_tpu.postprocess import nms as nms_mod
+
+    rng = np.random.default_rng(11)
+    B, n = 4, 8400
+    conf = rng.integers(0, 32767, (B, n)).astype(np.float32)
+    bxywh = rng.uniform(50 * 412, 500 * 412, (B, 4, n)).astype(np.float32)
+    cls = rng.integers(0, 80, (B, n)).astype(np.float32)
+    pred = (jnp.asarray(bxywh), jnp.asarray(conf), jnp.asarray(cls))
+    p = q_nms_params(412.1635)
+    det_a, n_a = non_max_suppression(pred, p)
+
+    orig = nms_mod._select_candidates
+    try:
+        nms_mod._select_candidates = (
+            lambda pr, mx, ct, pk=None, int_scores=False:
+            orig(pr, mx, ct, pk, int_scores=False))
+        det_b, n_b = non_max_suppression(pred, p)
+    finally:
+        nms_mod._select_candidates = orig
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+    np.testing.assert_array_equal(np.asarray(det_a), np.asarray(det_b))
