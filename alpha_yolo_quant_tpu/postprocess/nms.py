@@ -231,19 +231,22 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         # q_NMS fast path: scores are integer-valued (16-bit sigmoid ints,
         # or pre-sigmoid requantized ints in [-(2^15-1), 2^15-1]). Pack
         # (score + 2^15) << 14 | (n-1-idx) into ONE int32 key (17+14 bits)
-        # and run a single descending sort: same descending-score,
-        # lowest-index-first order as the stable argsort, but the sorted
-        # scores fall out of the keys (no gather) and an int sort is ~3x
-        # cheaper than f32 argsort+gather on this backend (r3_nms.log:
-        # 0.67 vs 2.16 ms at (128, 8400)).
+        # whose descending sort gives exactly the stable argsort's
+        # descending-score, lowest-index-first order — and CO-SORT the box
+        # columns and class ids as extra lax.sort operands, so no gathers
+        # at all. Measured at the (128, 8400) worst case: 0.93 ms vs
+        # 2.16 ms argsort+gather (r3_nms3.log G2 vs r3_nms.log S1).
         key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
             | (n - 1 - jnp.arange(n, dtype=jnp.int32))
-        skey = -jnp.sort(-key)[:m]
+        srt = jax.lax.sort(
+            (-key, box[:, 0], box[:, 1], box[:, 2], box[:, 3], cls),
+            num_keys=1)
+        skey = -srt[0][:m]
         conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
-        idx = (n - 1) - (skey & ((1 << 14) - 1))
+        boxes_s = jnp.stack([srt[i][:m] for i in (1, 2, 3, 4)], 1)
         # validity re-derived from sorted scores: the conf_thres cut is
         # monotone in score, so valid candidates still precede invalid
-        return box[idx], conf_s, cls[idx], conf_s > conf_thres
+        return boxes_s, conf_s, srt[5][:m], conf_s > conf_thres
     valid = conf > conf_thres
     score_for_sort = jnp.where(valid, conf, -jnp.inf)
     # argsort-based top-k: XLA's batched TopK lowering is catastrophically
@@ -286,16 +289,25 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
         keep = _greedy_nms_mask(shifted, conf, valid, p.iou_thres,
                                 p.max_det, p.plus_one, p.quantized,
                                 presorted=True, block=p.block)
-        # compact kept rows to the front, at most max_det of them
-        order = jnp.argsort(~keep, stable=True)   # kept first, score order
-        keep_sorted = keep[order]
-        conf_out = conf[order]
+        # compact kept rows to the front, at most max_det of them:
+        # kept-first co-sort — one int key (keep << bits | reverse-rank)
+        # carries the 6 row columns as extra lax.sort operands, replacing
+        # the argsort + 3 gathers (0.37 vs 2.58 ms at the B=128 worst
+        # case, r3_nms4.log A1)
+        m = boxes.shape[0]
+        sh = int(m).bit_length()
+        key = (keep.astype(jnp.int32) << sh) \
+            | (m - jnp.arange(m, dtype=jnp.int32))
+        srt = jax.lax.sort((-key, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+                            boxes[:, 3], conf, cls), num_keys=1)
+        keep_sorted = ((-srt[0]) >> sh) > 0
+        conf_out = srt[5]
         if score_map is not None:
             conf_out = score_map(conf_out)
-        rows = jnp.concatenate(
-            (boxes[order] / p.box_scale,
-             (conf_out / p.score_scale)[:, None],
-             cls[order][:, None]), axis=1)
+        rows = jnp.stack(
+            (srt[1] / p.box_scale, srt[2] / p.box_scale,
+             srt[3] / p.box_scale, srt[4] / p.box_scale,
+             conf_out / p.score_scale, srt[6]), axis=1)
         rows = jnp.where(keep_sorted[:, None], rows, 0.0)
         n = jnp.sum(keep_sorted.astype(jnp.int32))
         if rows.shape[0] < p.max_det:   # fixed serving shape (B, max_det, 6)
