@@ -171,7 +171,8 @@ def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
 
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
-                engine: str = "xla") -> Dict[str, jnp.ndarray]:
+                engine: str = "xla",
+                head_requant: bool = False) -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
     NCHW accumulators for the six head convs) plus, with keep_env, every
     edge and the pre-SiLU requantized accumulators under
@@ -190,6 +191,14 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
       'fused'   Pallas matmul kernels for 1x1 + patches-based 3x3
       'packed'  auto-flavor base + lane-packed banded Mosaic convs for the
                 narrow (C<=64) stride-1 layers (runtime/packed_conv.py)
+    head_requant: apply the full-quant head's first requant stage to the
+    six head accumulators INSIDE the forward (box -> int8 at the fixed
+    DFL scale, cls -> int16 at scale(12,16)); decode_full_quant must then
+    be called with pre_requantized=True. Bit-exact — the identical
+    requantize_i32 constants run one fusion boundary earlier — and the
+    forward->decode seam then moves ~1/3 of the int32 accumulator bytes
+    (r3_seams.log attributed ~3.2 ms to that boundary at B=128).
+
     All engines produce bit-identical results (tested)."""
     cfg = model.cfg
     qmax = cfg.qmax
@@ -465,6 +474,19 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 for role, e in model.graph.outputs.items()}
     else:
         outs = {role: env[e] for role, e in model.graph.outputs.items()}
+    if head_requant:
+        assert model.head is not None, "head_requant needs full_quant"
+        h = model.head
+        hp = plan["head"]
+        for level in ("p3", "p4", "p5"):
+            for kind, qmx, dt in (("box", 127, jnp.int8),
+                                  ("cls", 2 ** 15 - 1, jnp.int16)):
+                role = f"{level}_{kind}"
+                req = (requantize_i32_bigshift
+                       if int(np.min(getattr(h, f"{kind}_s")[level])) >= 16
+                       else requantize_i32)
+                outs[role] = req(outs[role], hp[f"{kind}_r"][level],
+                                 hp[f"{kind}_s"][level], qmx).astype(dt)
     if keep_env:
         outs["__env__"] = env
     return outs
@@ -487,7 +509,8 @@ def dequantize_heads(model: QuantizedModel, outs: Dict) -> Dict:
 
 def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
                       sigmoid_cls: bool = True,
-                      reduce_cls: bool = False):
+                      reduce_cls: bool = False,
+                      pre_requantized: bool = False):
     """Fully-quantized head: 8-bit box requant, LUT-exponent softmax,
     quantized DFL, quantized anchors, 16-bit LUT sigmoid classes
     (reference stage_6_full_quant tail / stage_8_torch_full_quant.py:
@@ -511,13 +534,20 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
         bacc = outs[f"{level}_box"]
         cacc = outs[f"{level}_cls"]
         shapes.append((bacc.shape[2], bacc.shape[3]))
-        breq = (requantize_i32_bigshift
-                if int(np.min(h.box_s[level])) >= 16 else requantize_i32)
-        creq = (requantize_i32_bigshift
-                if int(np.min(h.cls_s[level])) >= 16 else requantize_i32)
-        bq = breq(bacc, hp["box_r"][level], hp["box_s"][level], 127)
-        cq = creq(cacc, hp["cls_r"][level], hp["cls_s"][level],
-                  2 ** 15 - 1)
+        if pre_requantized:
+            # int_forward(head_requant=True) already applied this stage
+            bq = bacc.astype(jnp.int32)
+            cq = cacc.astype(jnp.int32)
+        else:
+            breq = (requantize_i32_bigshift
+                    if int(np.min(h.box_s[level])) >= 16
+                    else requantize_i32)
+            creq = (requantize_i32_bigshift
+                    if int(np.min(h.cls_s[level])) >= 16
+                    else requantize_i32)
+            bq = breq(bacc, hp["box_r"][level], hp["box_s"][level], 127)
+            cq = creq(cacc, hp["cls_r"][level], hp["cls_s"][level],
+                      2 ** 15 - 1)
         b = bq.shape[0]
         boxes.append(bq.reshape(b, 64, -1))
         clss.append(cq.reshape(b, 80, -1))
@@ -643,12 +673,14 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
 
     def fn(images):
         x_q = quantize_input(images, k, out_dtype=q_dt)
-        outs = int_forward(model, plan, x_q, engine=engine)
+        outs = int_forward(model, plan, x_q, engine=engine,
+                           head_requant=full)
         if full:
             preds = decode_full_quant(model, plan, outs,
                                       sigmoid_cls=score_map is None,
                                       reduce_cls=(score_map is not None
-                                                  and with_nms))
+                                                  and with_nms),
+                                      pre_requantized=True)
         else:
             preds = decode_float(dequantize_heads(model, outs), dfl_w)
         if with_nms:

@@ -336,3 +336,26 @@ def test_eval_nms_params_threshold_reaches_nms():
     _, n_hi = fn_hi(x)
     assert int(np.asarray(n_lo).sum()) > 0
     assert int(np.asarray(n_lo).sum()) >= int(np.asarray(n_hi).sum())
+
+
+def test_head_requant_in_forward_equivalent():
+    """int_forward(head_requant=True) + decode(pre_requantized=True) must
+    be bit-identical to the requant-in-decode path (same requantize
+    constants, applied one fusion boundary earlier)."""
+    cfg, graph, params, model = _setup(full_quant=True)
+    plan = device_plan(model)
+    x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    outs_a = int_forward(model, plan, xq)
+    ref = decode_full_quant(model, plan, outs_a, sigmoid_cls=False,
+                            reduce_cls=True)
+    outs_b = int_forward(model, plan, xq, head_requant=True)
+    for level in ("p3", "p4", "p5"):
+        assert outs_b[f"{level}_box"].dtype == jnp.int8
+        assert outs_b[f"{level}_cls"].dtype == jnp.int16
+    got = decode_full_quant(model, plan, outs_b, sigmoid_cls=False,
+                            reduce_cls=True, pre_requantized=True)
+    for a, b, what in zip(ref, got, ("boxes", "conf", "cls")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=what)
