@@ -221,7 +221,12 @@ def packed_conv_np(slab: np.ndarray, mats: np.ndarray, plan: PackPlan,
 
 
 def _epilogue(acc, r1, s1, r2, s2, *, qmax, sig_scale, sig_qmax,
-              corrections, bigshift, silu):
+              corrections, bigshift, silu, pat=None):
+    """Requant/SiLU epilogue. `pat` (rows,128) int32 in {0,1} zeroes the
+    interleaved pad-group rows by an integer MULTIPLY folded into the
+    second requant's per-element rescale (requant(acc, 0, s) == 0
+    exactly) — a vector compare+select here costs ~0.45 ms/layer on
+    Mosaic (r3_packed4/6 logs) and the i8-domain where() miscompiles."""
     import jax
     import jax.numpy as jnp
 
@@ -230,7 +235,7 @@ def _epilogue(acc, r1, s1, r2, s2, *, qmax, sig_scale, sig_qmax,
     )
 
     if not silu:
-        return acc
+        return acc if pat is None else acc * pat
     req = requantize_i32_bigshift if bigshift else requantize_i32
     dom = req(acc, r1, s1, qmax)
     d = dom.astype(jnp.float32) / np.float32(sig_scale)
@@ -238,43 +243,57 @@ def _epilogue(acc, r1, s1, r2, s2, *, qmax, sig_scale, sig_qmax,
                      -sig_qmax, sig_qmax).astype(jnp.int32)
     for i, v in corrections:
         sigma = jnp.where(dom == i, jnp.int32(v), sigma)
+    if pat is not None:
+        sigma = sigma * pat
     return req(acc, sigma * r2, s2, qmax)
 
 
 def _packed_kernel(*refs, n_x, taps, m, gp2, r_out_ext, qmax, sig_scale,
                    sig_qmax, corrections, bigshift, silu, row_chunk):
-    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     x_refs = refs[:n_x]
-    w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref, out_ref = refs[n_x:]
+    (w_ref, b_ref, r1_ref, s1_ref, r2_ref, s2_ref, pat_ref,
+     out_ref) = refs[n_x:]
     dt = out_ref.dtype
     head = FRONT_PAD + gp2
     out_ref[0, pl.ds(0, head), :] = jnp.zeros((head, 128), dt)
     tail = r_out_ext - head - m
     out_ref[0, pl.ds(head + m, tail), :] = jnp.zeros((tail, 128), dt)
-    # static row chunks bound the int32 accumulator's VMEM footprint (the
-    # whole-slab accumulator at 320x320 is 6.9MB and fails to compile)
-    for q0 in range(0, m, row_chunk):
-        rows = min(row_chunk, m - q0)
+
+    def compute(q0, rows):
         acc = None
         for si, t, base in taps:
             xs = x_refs[si][0, pl.ds(base + q0, rows), :]
             d = jnp.dot(xs, w_ref[pl.ds(t * 128, 128), :],
                         preferred_element_type=jnp.int32)
             acc = d if acc is None else acc + d
-        acc = acc + b_ref[:]
+        return acc + b_ref[:]
+
+    def finish(q0, rows, acc):
+        # row_chunk is a gp2 multiple, so the pad-group pattern phase at
+        # every chunk start is 0 and one (row_chunk,128) tile serves all
         out = _epilogue(acc, r1_ref[:], s1_ref[:], r2_ref[:], s2_ref[:],
                         qmax=qmax, sig_scale=sig_scale, sig_qmax=sig_qmax,
                         corrections=corrections, bigshift=bigshift,
-                        silu=silu)
-        # zero the interleaved pad groups (u = 0 or G+1) and cast
-        u = q0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        u = u % gp2
-        ok = (u >= 1) & (u <= gp2 - 2)
-        out_ref[0, pl.ds(head + q0, rows), :] = \
-            jnp.where(ok, out, 0).astype(dt)
+                        silu=silu, pat=pat_ref[pl.ds(0, rows), :])
+        # silu: requant already clipped to +-qmax; raw: dt is int32
+        out_ref[0, pl.ds(head + q0, rows), :] = out.astype(dt)
+
+    # Static row chunks bound the int32 accumulator's VMEM footprint (the
+    # whole-slab accumulator at 320x320 is 6.9MB and fails to compile).
+    # Software pipeline: chunk q's MXU dots are issued before chunk q-1's
+    # VPU epilogue, giving Mosaic independent MXU/VPU streams to overlap
+    # (0.90 -> 0.59 ms on the C16@160 layer, r3_packed6.log).
+    pend = None
+    for q0 in range(0, m, row_chunk):
+        rows = min(row_chunk, m - q0)
+        acc = compute(q0, rows)
+        if pend is not None:
+            finish(*pend)
+        pend = (q0, rows, acc)
+    finish(*pend)
 
 
 def _packed_call(x_slabs, taps, wlist, bias_lane, r1_lane, s1_lane,
@@ -324,12 +343,20 @@ def _packed_call(x_slabs, taps, wlist, bias_lane, r1_lane, s1_lane,
             [jnp.zeros((b, head, 128), dt), out,
              jnp.zeros((b, r_out_ext - head - m, 128), dt)], 1)
 
+    if row_chunk is None:
+        # ~4 chunks so the MXU/VPU software pipeline has work to overlap,
+        # capped so the int32 accumulator stays small in VMEM (the probe
+        # optimum at m=3520 was 880 = m/4, r3_packed6.log)
+        row_chunk = min(1024, -(-m // 4))
+    row_chunk = -(-min(row_chunk, m) // gp2) * gp2
     kernel = functools.partial(
         _packed_kernel, n_x=len(x_slabs), taps=tuple(taps), m=m, gp2=gp2,
         r_out_ext=r_out_ext, qmax=qmax, sig_scale=sig_scale,
         sig_qmax=sig_qmax, corrections=tuple(corrections),
-        bigshift=bigshift, silu=silu,
-        row_chunk=-(-min(row_chunk, m) // gp2) * gp2)
+        bigshift=bigshift, silu=silu, row_chunk=row_chunk)
+    u = np.arange(row_chunk) % gp2
+    pat = jnp.asarray(((u >= 1) & (u <= gp2 - 2)).astype(np.int32)
+                      .reshape(-1, 1).repeat(128, 1))
     b = x_slabs[0].shape[0]
     x_specs = [pl.BlockSpec((1, s.shape[1], 128), lambda i: (i, 0, 0))
                for s in x_slabs]
@@ -342,13 +369,14 @@ def _packed_call(x_slabs, taps, wlist, bias_lane, r1_lane, s1_lane,
             pl.BlockSpec((1, 128), lambda i: (0, 0)),
             pl.BlockSpec((1, 128), lambda i: (0, 0)),
             pl.BlockSpec((1, 128), lambda i: (0, 0)),
-            pl.BlockSpec((1, 128), lambda i: (0, 0))],
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((row_chunk, 128), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((1, r_out_ext, 128), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, r_out_ext, 128),
                                        jnp.int8 if silu else jnp.int32),
         interpret=interpret,
     )(*x_slabs, w_cat, lane(bias_lane), lane(r1_lane), lane(s1_lane),
-      lane(r2_lane), lane(s2_lane))
+      lane(r2_lane), lane(s2_lane), pat)
 
 
 def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
@@ -358,7 +386,7 @@ def packed_conv_slab(x_slab, mats_i8, bias_lane, r1_lane, s1_lane, r2_lane,
                      corrections: Tuple[Tuple[int, int], ...] = (),
                      bigshift: bool = False, silu: bool = True,
                      interpret: Optional[bool] = None,
-                     row_chunk: int = 4096, x_slab2=None):
+                     row_chunk: Optional[int] = None, x_slab2=None):
     """x_slab: (B, R_in_ext, 128) int8 extended slab; mats_i8 (3,3,128,128).
     Returns the OUTPUT extended slab (B, R_out_ext, 128) int8 (stride 1).
 
@@ -493,7 +521,7 @@ def packed_conv_down2(x_slabs_eo, mats2_i8, bias_lane, r1_lane,
                       corrections: Tuple[Tuple[int, int], ...] = (),
                       bigshift: bool = False, silu: bool = True,
                       interpret: Optional[bool] = None,
-                      row_chunk: int = 4096):
+                      row_chunk: Optional[int] = None):
     """Downpack 1x1 conv: out_row = E_row @ W0 + O_row @ W1, identical
     row indices (the center-tap base). x_slabs_eo is a flat [E, O] list,
     or [E1, O1, E2, O2, ...] for wide inputs split into int8 parts
@@ -521,7 +549,7 @@ def packed_conv_s2(x_slab_a, x_slab_b, mats_i8, bias_lane, r1_lane,
                    corrections: Tuple[Tuple[int, int], ...] = (),
                    bigshift: bool = False, silu: bool = True,
                    interpret: Optional[bool] = None,
-                   row_chunk: int = 4096):
+                   row_chunk: Optional[int] = None):
     """Stride-2 banded conv over even/odd row-block slabs (see above).
     Returns the OUTPUT extended slab at h_out = h_in // 2."""
     assert plan.stride == 2
