@@ -529,6 +529,9 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
     re-reading the class plane costs ~0.8ms/batch-128 of HBM."""
     h = model.head
     hp = plan["head"]
+    if pre_requantized and reduce_cls:
+        assert not sigmoid_cls, "reduce_cls defers the sigmoid to NMS"
+        return _decode_serving_per_level(model, plan, outs)
     boxes, clss, shapes = [], [], []
     for level in ("p3", "p4", "p5"):
         bacc = outs[f"{level}_box"]
@@ -592,6 +595,61 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
     if sigmoid_cls:
         cls = hp["cls_sig_lut"].apply(cls)
     return jnp.concatenate((dbox, cls.astype(jnp.float32)), 1)
+
+
+def _decode_serving_per_level(model: QuantizedModel, plan: Dict,
+                              outs: Dict):
+    """Serving decode (pre_requantized + reduce_cls) computed PER FPN
+    LEVEL in the conv-native (h, w)-minor layout.
+
+    Mathematically identical to the concat-first path (softmax, DFL,
+    dist2bbox, and the class max/argmax are all per-anchor), but the
+    DFL softmax then runs on (B,4,16,h,w) views of the head tensors as
+    the forward produced them — the concat-first path's
+    (B,4,16,N)->(B,16,4,N) transpose moves the full 275 MB int32 bin
+    plane through HBM at B=128, and the class plane is reduced before
+    any anchor-major materialization (r3_seams.log attributed ~3.2 ms
+    to this boundary). Returns (dbox (B,4,N), conf (B,N), cid (B,N))
+    with N in p3,p4,p5 row-major anchor order, matching make_anchors.
+    """
+    from alpha_yolo_quant_tpu.models.head import STRIDES
+
+    h = model.head
+    hp = plan["head"]
+    dboxes, confs, cids = [], [], []
+    for li, level in enumerate(("p3", "p4", "p5")):
+        bq = outs[f"{level}_box"].astype(jnp.int32)      # (b,64,h,w)
+        cq = outs[f"{level}_cls"].astype(jnp.int32)      # (b,80,h,w)
+        b, _, hh, ww = bq.shape
+        bins = bq.reshape(b, 4, 16, hh, ww)
+        y = bins - jnp.max(bins, axis=2, keepdims=True)  # <= 0
+        e = hp["exp_lut"].apply(y)                       # [0,127]
+        ssum = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1)
+        # integer-exact (127*e)//sum via corrected f32 division (see
+        # decode_full_quant)
+        ne = 127 * e
+        q0 = jnp.floor(ne.astype(jnp.float32) /
+                       ssum.astype(jnp.float32)).astype(jnp.int32)
+        r = ne - q0 * ssum
+        p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        acc = jnp.einsum("bcrhw,r->bchw", p.astype(jnp.float32),
+                         hp["dfl_w"].astype(jnp.float32),
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)
+        dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r),
+                               jnp.int32(h.dfl_s), 2 ** 15 - 1)
+        anchors_l, strides_l = make_anchors([(hh, ww)],
+                                            strides=STRIDES[li:li + 1])
+        anchors_ql = jnp.round(anchors_l * h.anchor_scale)
+        dbox = dist2bbox(dfl_q.reshape(b, 4, hh * ww).astype(jnp.float32),
+                         anchors_ql[None]) * strides_l
+        dboxes.append(dbox)
+        confs.append(jnp.max(cq, axis=1).reshape(b, -1)
+                     .astype(jnp.float32))
+        cids.append(jnp.argmax(cq, axis=1).reshape(b, -1)
+                    .astype(jnp.float32))
+    return (jnp.concatenate(dboxes, 2), jnp.concatenate(confs, 1),
+            jnp.concatenate(cids, 1))
 
 
 def cls_int_conf_threshold(model: QuantizedModel,
