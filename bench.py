@@ -49,21 +49,19 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # Chain iterations through a data dependency and fetch a scalar at the
     # end: the remote executor reports buffers "ready" lazily, so plain
     # block_until_ready over repeated identical calls can under-measure.
-    # The dependency touches ONE element (probe*0 is not foldable in f32
-    # because of NaN/inf semantics, so XLA cannot hoist the step out of
-    # the loop) — a full-tensor rewrite here costs ~1.5ms/iteration of
-    # pure harness overhead at batch 128.
+    # The dependency is a SCALAR carry entering as `images + isnan(acc)`
+    # (adds exact 0, fuses into the quantize read, not foldable since acc
+    # is a runtime value) — the images buffer stays read-only. Writing
+    # even one element of it per iteration forces XLA to COPY the whole
+    # 629MB f32 batch each iteration (~2.3 ms of harness overhead,
+    # scripts/r3_quant2.log R0/R1).
     @jax.jit
     def chained(images, n_iters):
-        def body(i, carry):
-            imgs, acc = carry
-            det, n_det = step_inner(imgs)
-            probe = det[0, 0, 0]
-            imgs = imgs.at[0, 0, 0, 0].set(imgs[0, 0, 0, 0] + probe * 0)
-            return (imgs, acc + probe)
-        (_, acc) = jax.lax.fori_loop(0, n_iters, body, (images,
-                                                        jnp.float32(0)))
-        return acc
+        def body(i, acc):
+            det, n_det = step_inner(
+                images + jnp.isnan(acc).astype(images.dtype))
+            return acc + det[0, 0, 0]
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     step_inner = fn
     images = np.random.default_rng(0).uniform(

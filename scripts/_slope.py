@@ -7,6 +7,18 @@ the iteration count therefore inflates every sub-ms measurement by
 several ms — the round-1/2 "per-call floor" of the packed kernel was
 exactly this artifact. Timing here runs the SAME chained loop at two
 iteration counts and reports the slope, which cancels the fixed cost.
+
+Iterations are serialized through a SCALAR carry only: the probe input
+stays a read-only captured buffer, and the data dependency enters fn as
+`leaf + isnan(s)` (adds exact 0, fuses into the consumer's first read,
+and is not constant-foldable because s is a runtime value). The earlier
+harness wrote one element of the input per iteration — an in-place
+update XLA cannot alias while fn still reads the buffer, so every
+iteration silently COPIED the whole input (~2.3 ms at B=128 f32 640²:
+r3_quant2.log R0, a bare f32 +1.0, timed 3.80 ms vs its 1.5 ms
+roofline, identical to quantize; R1 with half the write bytes timed the
+same). That copy inflated every round-2/3 stage number measured on a
+large f32 input.
 """
 import time
 
@@ -17,24 +29,21 @@ N_LO, N_HI = 10, 60
 
 
 def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
+    leaves0, treedef = jax.tree_util.tree_flatten(x0)
+
     @jax.jit
     def loop(x, n):
-        # n is a traced scalar: one compile serves every iteration count.
-        # The dependency update touches ONE element per input leaf (s*0
-        # is not foldable in f32 — NaN/inf semantics — so fn cannot be
-        # hoisted out of the loop); a full-tensor rewrite here charges
-        # ~1.9ms/iteration of harness overhead at batch 128.
-        def body(i, carry):
-            x, acc = carry
-            out = fn(x)
+        leaves, _ = jax.tree_util.tree_flatten(x)
+
+        def body(i, s):
+            l0 = leaves[0]
+            lp = l0 + jnp.isnan(s).astype(l0.dtype)   # +0, s-dependent
+            out = fn(jax.tree_util.tree_unflatten(
+                treedef, [lp] + list(leaves[1:])))
             leaf = jax.tree_util.tree_leaves(out)[0]
-            s = leaf.reshape(-1)[0].astype(jnp.float32)
-            x = jax.tree_util.tree_map(
-                lambda t: t.reshape(-1).at[0].set(
-                    t.reshape(-1)[0] + (s * 0).astype(t.dtype)
-                ).reshape(t.shape), x)
-            return x, acc + s
-        return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
+            return s + leaf.reshape(-1)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(loop(x0, jnp.int32(2)))           # compile + warm
     ts = {}
