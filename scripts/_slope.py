@@ -19,6 +19,16 @@ r3_quant2.log R0, a bare f32 +1.0, timed 3.80 ms vs its 1.5 ms
 roofline, identical to quantize; R1 with half the write bytes timed the
 same). That copy inflated every round-2/3 stage number measured on a
 large f32 input.
+
+MEASUREMENT TRAP #5 (round 3, r3_nmsseam2.log): consuming only one
+element of one output leaf lets XLA DCE every UNCONSUMED SIBLING inside
+the jit — a prefix probe of quant+fwd+decode timed 28.9 ms while the
+same prefix under a consumer that reads everything costs 36.9 ms (five
+of the six head-conv chains and the class reduction were dead). Every
+fn output now passes through lax.optimization_barrier, which keeps all
+leaves live (a barrier with a used result keeps all operands) without
+the fusion distortion a checksum-sum would add; only one element is
+still fetched.
 """
 import time
 
@@ -40,6 +50,9 @@ def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
             lp = l0 + jnp.isnan(s).astype(l0.dtype)   # +0, s-dependent
             out = fn(jax.tree_util.tree_unflatten(
                 treedef, [lp] + list(leaves[1:])))
+            # barrier: keep EVERY output leaf live (trap #5), then
+            # consume a single element
+            out = jax.lax.optimization_barrier(out)
             leaf = jax.tree_util.tree_leaves(out)[0]
             return s + leaf.reshape(-1)[0].astype(jnp.float32)
 
