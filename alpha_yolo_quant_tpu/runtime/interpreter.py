@@ -117,58 +117,6 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
     return jnp.round(jnp.clip(x, -a, a) * s).astype(out_dtype)
 
 
-def _packed_entry(model: QuantizedModel, plan: Dict, node, x_shape, _pc):
-    """Memoized packed-conv constants for an eligible conv (None if the
-    shape doesn't pack: channel-pad mismatch or width indivisible)."""
-    pk = plan.setdefault("packed", {})
-    if node.name in pk:
-        return pk[node.name]
-    c = model.convs[node.name]
-    cin_real, w_in = int(x_shape[1]), int(x_shape[3])
-    w_q = np.int64(c.w_q)
-    cout = w_q.shape[0]
-    kind = "std"
-    try:
-        pplan = _pc.make_plan(cin_real, cout, node.stride, w_in)
-    except ValueError:
-        pplan = None
-        if node.kernel == 1 and node.stride == 1:
-            try:
-                pplan = _pc.make_down2_plan(cin_real, cout, w_in)
-                kind = "down2"
-            except ValueError:
-                pplan = None
-    if pplan is None:
-        pk[node.name] = None
-        return None
-    if kind == "std":
-        if node.kernel == 1:
-            w33 = np.zeros(w_q.shape[:2] + (3, 3), np.int64)
-            w33[:, :, 1, 1] = w_q[:, :, 0, 0]
-            w_q = w33
-        mats = _pc.packed_weight_mats(w_q, pplan)
-    else:
-        mats = _pc.down2_weight_mats(w_q, pplan)
-
-    def lane_of(v, fill=0):
-        arr = (np.zeros(cout, np.int64) + fill if v is None
-               else np.int64(v).reshape(-1))
-        return _pc.pack_lane_const(arr, pplan, fill=fill)
-
-    entry = {
-        "plan": pplan,
-        "kind": kind,
-        "mats": mats,
-        "bias": lane_of(np.int64(c.b_q).reshape(-1)),
-        "r1": lane_of(c.r1),
-        "s1": lane_of(c.s1, fill=1),
-        "r2": lane_of(c.r2),
-        "s2": lane_of(c.s2, fill=1),
-    }
-    pk[node.name] = entry
-    return entry
-
-
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla",
@@ -216,8 +164,6 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     bf16_store = auto_flavor
     use_packed = engine == "packed" and not keep_env
     fused1x1 = engine == "fused" and not keep_env
-    if use_packed:
-        from alpha_yolo_quant_tpu.runtime import packed_conv as _pc
     if use_s8:
         from alpha_yolo_quant_tpu.ops.nn import (
             conv2d_bf16_exact, conv2d_s8_exact,
@@ -247,12 +193,26 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         return t.reshape(1, 1, 1, -1) if nhwc else t
 
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
-    # packed-slab residency: edge -> (slab, (cin_pad, w, h)) so adjacent
-    # packed convs chain without unpack->repack; the NCHW unpack is still
-    # traced into env and DCE'd by XLA when nothing consumes it
-    slab_env: Dict[str, tuple] = {}
+    slab_x = None
+    if use_packed:
+        from alpha_yolo_quant_tpu.runtime import slabforward as _sf
+
+        sp = plan.get("slabplan")
+        if sp is None:
+            sp = plan["slabplan"] = _sf.build_slab_plan(model)
+        slab_x = _sf.SlabExec(sp, model, plan, env, qmax=qmax,
+                              sig_scale=sig_scale_f, sig_qmax=sig_qmax_f)
 
     for idx, node in enumerate(model.graph.nodes):
+        if slab_x is not None:
+            pre = slab_x.sp.pre_ops.get(idx)
+            if pre:
+                slab_x.run(pre)
+            if idx in slab_x.sp.nodes:
+                ops = slab_x.sp.node_ops.get(idx)
+                if ops:
+                    slab_x.run(ops)
+                continue
         if isinstance(node, ConvNode):
             c = plan["convs"][node.name]
             if use_pallas:
@@ -272,86 +232,6 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 in_amax = model.edge_amax_int[node.src]
                 wide = in_amax > 127
                 s8_parts = -(-in_amax // 127)   # ceil: 1, 2 or 3
-                if use_packed and node.stride in (1, 2) \
-                        and node.kernel in (1, 3) \
-                        and node.padding == (1 if node.kernel == 3 else 0) \
-                        and (node.stride == 1 or not wide):
-                    entry = _packed_entry(model, plan, node,
-                                          env[node.src].shape, _pc)
-                    # the std stride-1 kernel covers <=2 int8 parts; the
-                    # down2 kernel covers any part count (concat edges
-                    # reach 3*qmax)
-                    if (entry is not None and entry["kind"] == "std"
-                            and node.stride == 1 and in_amax > 254):
-                        entry = None
-                    if entry is not None and entry["kind"] == "down2":
-                        pp = entry["plan"]
-                        h_in = env[node.src].shape[2]
-                        x32 = env[node.src].astype(jnp.int32)
-                        slabs = []
-                        rem = x32
-                        for _ in range(int(s8_parts)):
-                            part = jnp.clip(rem, -127, 127)
-                            rem = rem - part
-                            slabs += list(_pc.pack_tensor_down2_jnp(
-                                part, pp))
-                        out_slab = _pc.packed_conv_down2(
-                            slabs, entry["mats"], entry["bias"],
-                            entry["r1"], entry["s1"], entry["r2"],
-                            entry["s2"], pp, h_in, qmax=qmax,
-                            sig_scale=sig_scale_f, sig_qmax=sig_qmax_f,
-                            corrections=plan["pallas_sigma_corrections"],
-                            bigshift=model.convs[node.name].bigshift_ok,
-                            silu=node.silu)
-                        if node.silu:
-                            slab_env[node.dst] = (
-                                out_slab, (pp.cout_pad, pp.w_out, h_in))
-                        env[node.dst] = _pc.unpack_tensor_jnp(
-                            out_slab, pp, h_in)
-                        continue
-                    if entry is not None:
-                        pp = entry["plan"]
-                        h_in = env[node.src].shape[2]
-                        h_out = h_in // node.stride
-                        kw = dict(
-                            qmax=qmax, sig_scale=sig_scale_f,
-                            sig_qmax=sig_qmax_f,
-                            corrections=plan["pallas_sigma_corrections"],
-                            bigshift=model.convs[node.name].bigshift_ok,
-                            silu=node.silu)
-                        if node.stride == 2:
-                            sa, sb = _pc.pack_tensor_s2_jnp(
-                                env[node.src], pp)
-                            out_slab = _pc.packed_conv_s2(
-                                sa, sb, entry["mats"], entry["bias"],
-                                entry["r1"], entry["s1"], entry["r2"],
-                                entry["s2"], pp, h_in, **kw)
-                        else:
-                            slab2 = None
-                            cached = slab_env.get(node.src)
-                            if (not wide and cached is not None
-                                    and cached[1] == (pp.cin_pad, pp.w_in,
-                                                      h_in)):
-                                slab = cached[0]
-                            elif wide:   # 9-bit residual: 2-part split
-                                x32 = env[node.src].astype(jnp.int32)
-                                x1 = jnp.clip(x32, -127, 127)
-                                slab = _pc.pack_tensor_jnp(x1, pp)
-                                slab2 = _pc.pack_tensor_jnp(x32 - x1, pp)
-                            else:
-                                slab = _pc.pack_tensor_jnp(env[node.src],
-                                                           pp)
-                            out_slab = _pc.packed_conv_slab(
-                                slab, entry["mats"], entry["bias"],
-                                entry["r1"], entry["s1"], entry["r2"],
-                                entry["s2"], pp, h_in, x_slab2=slab2,
-                                **kw)
-                        if node.silu:
-                            slab_env[node.dst] = (
-                                out_slab, (pp.cout_pad, pp.w_out, h_out))
-                        env[node.dst] = _pc.unpack_tensor_jnp(out_slab, pp,
-                                                              h_out)
-                        continue
                 if fused1x1 and node.kernel == 3 and not wide:
                     kw = dict(qmax=qmax, sig_scale=sig_scale_f,
                               sig_qmax=sig_qmax_f,
@@ -469,6 +349,10 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             env[node.dst] = upsample_nearest(env[node.src], node.factor,
                                              nhwc=nhwc)
 
+    if slab_x is not None:
+        tail = slab_x.sp.pre_ops.get(len(model.graph.nodes))
+        if tail:
+            slab_x.run(tail)
     if nhwc:
         outs = {role: env[e].transpose(0, 3, 1, 2)
                 for role, e in model.graph.outputs.items()}
