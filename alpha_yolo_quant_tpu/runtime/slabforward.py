@@ -282,9 +282,14 @@ def _pad_slot(c: int) -> int:
     raise _Bail(f"channels {c} > 128")
 
 
-def build_slab_plan(model) -> SlabPlan:
+def build_slab_plan(model, allow=None) -> SlabPlan:
     """Static walk over the graph: decide per-node slab/XLA mode, build
-    tap matrices and the exec IR.  Deterministic, numpy-only."""
+    tap matrices and the exec IR.  Deterministic, numpy-only.
+
+    allow: optional predicate (node, c_in, h, w) -> bool restricting
+    which convs may run as slab kernels (hybrid engines: keep only the
+    regions where the banded kernel beats the XLA conv; everything else
+    bails to the XLA path exactly like any other ineligible node)."""
     graph = model.graph
     size = model.cfg.image_size
     shape: Dict[str, Tuple[int, int, int]] = {
@@ -368,6 +373,8 @@ def build_slab_plan(model) -> SlabPlan:
                     raise _Bail("kernel/stride")
                 if node.padding != (1 if node.kernel == 3 else 0):
                     raise _Bail("padding")
+                if allow is not None and not allow(node, c_in, h, w):
+                    raise _Bail("filtered")
                 if node.src in sv:
                     contribs = sv[node.src]
                 else:

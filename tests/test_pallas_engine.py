@@ -89,6 +89,27 @@ def test_engines_exact_with_saturated_concat_edges():
         _assert_outputs_equal(model, want, got, msg=f"{engine} saturated ")
 
 
+def test_hybrid_filtered_slab_plan_bit_exact():
+    """build_slab_plan(allow=) hybrid engines: filtered convs bail to
+    the XLA path with boundary unpacks and the mixed forward stays
+    bit-identical to the XLA interpreter."""
+    from alpha_yolo_quant_tpu.runtime.slabforward import build_slab_plan
+
+    cfg, model = _setup()
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    xq = quantize_input(jnp.asarray(x), 8)
+    want = int_forward(model, device_plan(model), xq, engine="xla")
+    full = build_slab_plan(model)
+    for name, pred in (("h>=32", lambda n, c, h, w: h >= 32),
+                       ("16..32", lambda n, c, h, w: 16 <= h <= 32)):
+        plan = device_plan(model, pallas=True)
+        sp = build_slab_plan(model, allow=pred)
+        plan["slabplan"] = sp
+        assert 0 < len(sp.nodes) < len(full.nodes), name
+        got = int_forward(model, plan, xq, engine="packed")
+        _assert_outputs_equal(model, want, got, msg=f"hybrid {name} ")
+
+
 def test_pallas_sigma_corrections_small():
     from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
     from alpha_yolo_quant_tpu.runtime.pallas_ops import (
