@@ -258,13 +258,19 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
 
 
 def non_max_suppression(preds, params: NmsParams = NmsParams(),
-                        score_map=None):
+                        score_map=None, preselected: bool = False):
     """Batched NMS.
 
     preds: (B, 4+nc, N) in xywh + class scores (float; for q_NMS these are
     integer-valued floats in anchor/sigmoid scale units), or the
     pre-reduced tuple (boxes_xywh (B,4,N), conf (B,N), cls (B,N)) from
     decode_full_quant(reduce_cls=True).
+
+    preselected=True: preds is the already-selected candidate tuple
+    (boxes_xyxy (B,m,4), conf (B,m), cls (B,m), valid (B,m)) in
+    descending (conf, lowest-index-first) order — the output contract of
+    runtime.interpreter.decode_select_sparse — and the per-image select
+    stage is skipped.
 
     score_map: optional MONOTONE map applied to the kept rows' confidences
     before descaling (the serving path defers the 16-bit sigmoid LUT here —
@@ -279,9 +285,12 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
     p = params
 
     def single(pred):
-        boxes, conf, cls, valid = _select_candidates(
-            pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk,
-            int_scores=p.quantized)
+        if preselected:
+            boxes, conf, cls, valid = pred
+        else:
+            boxes, conf, cls, valid = _select_candidates(
+                pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk,
+                int_scores=p.quantized)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
         # _select_candidates returns descending-score candidates with the

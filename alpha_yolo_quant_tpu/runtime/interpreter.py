@@ -17,6 +17,7 @@ import dataclasses
 from typing import Dict
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -536,6 +537,90 @@ def _decode_serving_per_level(model: QuantizedModel, plan: Dict,
             jnp.concatenate(cids, 1))
 
 
+def decode_select_sparse(model: QuantizedModel, plan: Dict, outs: Dict,
+                         *, pre_topk: int, conf_thres: float):
+    """Serving decode fused with NMS candidate selection (conf-first).
+
+    The dense serving path (_decode_serving_per_level followed by
+    postprocess.nms._select_candidates) runs the quantized DFL softmax
+    over all N anchors and then keeps the top pre_topk by class
+    confidence. Confidence alone determines that cut, so this path
+    sorts FIRST — the identical packed int key ((conf + 2^15) << 14 |
+    reverse-index) the dense select uses — and decodes boxes only for
+    the kept pre_topk anchors: ~N/pre_topk (8.4x at 640) less DFL
+    softmax/einsum work, plus the box-bin planes are read through an
+    int8 top-k gather instead of in full. Per-anchor math is identical
+    (same softmax correction, same requant, same f32 dist2bbox chain),
+    so the result is bit-exact vs the dense path (tested:
+    tests/test_nms.py::test_sparse_select_decode_parity).
+
+    Requires head_requant outputs (box int8 / cls int16 edges), N < 2^14
+    anchors and integer class scores (the q_NMS serving regime).
+    Returns (boxes_xyxy (B,m,4), conf (B,m), cid (B,m), valid (B,m)) in
+    descending (conf, lowest-index-first) order — the preselected
+    contract of postprocess.nms.non_max_suppression.
+    """
+    from alpha_yolo_quant_tpu.models.head import STRIDES
+    from alpha_yolo_quant_tpu.postprocess.nms import xywh2xyxy
+
+    h = model.head
+    hp = plan["head"]
+    confs, cids, boxes, shapes = [], [], [], []
+    for level in ("p3", "p4", "p5"):
+        cq = outs[f"{level}_cls"].astype(jnp.int32)      # (b,80,h,w)
+        b = cq.shape[0]
+        confs.append(jnp.max(cq, axis=1).reshape(b, -1))
+        cids.append(jnp.argmax(cq, axis=1).reshape(b, -1)
+                    .astype(jnp.float32))
+        bq = outs[f"{level}_box"]                        # int8 (b,64,h,w)
+        shapes.append((bq.shape[2], bq.shape[3]))
+        boxes.append(bq.reshape(b, 64, -1))
+    conf = jnp.concatenate(confs, 1)                     # (b,N) int32
+    cid = jnp.concatenate(cids, 1)                       # (b,N) f32
+    box_flat = jnp.concatenate(boxes, 2)                 # (b,64,N) int8
+    n = conf.shape[1]
+    assert n < (1 << 14), "sparse select needs N < 2^14 anchors"
+    m = min(pre_topk, n)
+
+    # identical key + order as _select_candidates' int fast path
+    key = ((conf + (1 << 15)) << 14) \
+        | (n - 1 - jnp.arange(n, dtype=jnp.int32))[None]
+    srt = jax.lax.sort((-key, cid), num_keys=1, dimension=1)
+    skey = -srt[0][:, :m]
+    cid_s = srt[1][:, :m]
+    conf_s = ((skey >> 14) - (1 << 15)).astype(jnp.float32)
+    idx = (n - 1) - (skey & ((1 << 14) - 1))             # (b,m)
+
+    # top-k gather of the box bins: (b,64,m) int8
+    bins_g = jnp.take_along_axis(box_flat, idx[:, None, :], axis=2)
+    bins = bins_g.astype(jnp.int32).reshape(-1, 4, 16, m)
+
+    # quantized DFL softmax — expression-identical to the dense decode
+    y = bins - jnp.max(bins, axis=2, keepdims=True)      # <= 0
+    e = hp["exp_lut"].apply(y)                           # [0,127]
+    ssum = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1)
+    ne = 127 * e
+    q0 = jnp.floor(ne.astype(jnp.float32) /
+                   ssum.astype(jnp.float32)).astype(jnp.int32)
+    r = ne - q0 * ssum
+    p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    acc = jnp.einsum("bcrn,r->bcn", p.astype(jnp.float32),
+                     hp["dfl_w"].astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
+                           2 ** 15 - 1)
+
+    # per-anchor constants gathered by the same index
+    anchors, strides = make_anchors(shapes, strides=STRIDES)
+    anchors_q = jnp.round(anchors * h.anchor_scale)      # (2,N)
+    a_g = jnp.take(anchors_q.T, idx, axis=0)             # (b,m,2)
+    s_g = jnp.take(strides[0], idx, axis=0)              # (b,m)
+    dbox = dist2bbox(dfl_q.astype(jnp.float32),
+                     a_g.transpose(0, 2, 1)) * s_g[:, None, :]
+    boxes_xyxy = xywh2xyxy(dbox.transpose(0, 2, 1))      # (b,m,4)
+    return boxes_xyxy, conf_s, cid_s, conf_s > jnp.float32(conf_thres)
+
+
 def cls_int_conf_threshold(model: QuantizedModel,
                            conf_thres_int: int = 8192) -> float:
     """Smallest requantized-int class score whose sigmoid exceeds the
@@ -568,12 +653,16 @@ def eval_nms_params(model: QuantizedModel, conf_thres: float):
 
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
-                       engine: str = "xla"):
+                       engine: str = "xla", sparse_select: bool = True):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
     pipeline, whose head stays float — reference stage_6.py:598-634).
     engine: 'xla' | 'pallas' (fused kernels; bit-identical).
+    sparse_select: use the conf-first sparse decode (decode_select_sparse)
+    on the full-quant serving path when eligible — bit-identical to the
+    dense decode+select, ~8x less DFL work. False forces the dense path
+    (kept for parity tests and as the N >= 2^14 fallback).
     """
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (
@@ -613,10 +702,25 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
 
     q_dt = jnp.bfloat16 if engine in ("auto", "packed") else jnp.int8
 
+    # sparse select needs the q_NMS serving regime: integer scores, a
+    # pre_topk cut, the deferred sigmoid, and < 2^14 anchors
+    n_anchors = sum((model.cfg.image_size // s) ** 2 for s in (8, 16, 32))
+    use_sparse = (sparse_select and full and with_nms
+                  and score_map is not None and nms_params.quantized
+                  and nms_params.pre_topk and n_anchors < (1 << 14))
+
     def fn(images):
         x_q = quantize_input(images, k, out_dtype=q_dt)
         outs = int_forward(model, plan, x_q, engine=engine,
                            head_requant=full)
+        if use_sparse:
+            cand = decode_select_sparse(
+                model, plan, outs,
+                pre_topk=min(nms_params.pre_topk, nms_params.max_nms),
+                conf_thres=nms_params.conf_thres)
+            return non_max_suppression(cand, nms_params,
+                                       score_map=score_map,
+                                       preselected=True)
         if full:
             preds = decode_full_quant(model, plan, outs,
                                       sigmoid_cls=score_map is None,

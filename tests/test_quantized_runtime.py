@@ -282,6 +282,24 @@ def test_reduce_cls_decode_equivalent():
     np.testing.assert_array_equal(np.asarray(det_p), np.asarray(det_t))
 
 
+def test_sparse_select_decode_parity():
+    """The conf-first sparse serving path (decode_select_sparse: sort by
+    class confidence FIRST, DFL-decode only the kept top-k anchors) must
+    produce bit-identical detections to the dense decode+select path —
+    same candidate set/order (identical packed key), same per-anchor box
+    math on the surviving anchors."""
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = jnp.asarray(RNG.uniform(
+        0, 1, (3, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
+    fn_sparse, _ = build_int_pipeline(model, sparse_select=True)
+    fn_dense, _ = build_int_pipeline(model, sparse_select=False)
+    det_s, n_s = fn_sparse(x)
+    det_d, n_d = fn_dense(x)
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_d))
+    np.testing.assert_array_equal(np.asarray(det_s), np.asarray(det_d))
+    assert int(np.asarray(n_s).sum()) > 0, "degenerate: no detections"
+
+
 def test_pipeline_custom_qnms_params_threshold_domain():
     """build_int_pipeline with caller-supplied q_nms_params (conf_thres in
     the POST-sigmoid 16-bit int domain, e.g. the documented 8192) must
