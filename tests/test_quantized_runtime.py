@@ -282,6 +282,23 @@ def test_reduce_cls_decode_equivalent():
     np.testing.assert_array_equal(np.asarray(det_p), np.asarray(det_t))
 
 
+def test_conf_cid_packed_matches_max_argmax():
+    """The packed-key class reduction equals separate max + argmax
+    (first-index tie rule) over the full 16-bit score range, including
+    negative scores and dense ties."""
+    from alpha_yolo_quant_tpu.runtime.interpreter import _conf_cid_packed
+
+    r = np.random.default_rng(3)
+    x = r.integers(-(2 ** 15 - 1), 2 ** 15, (4, 80, 7, 9)).astype(np.int32)
+    x[0, :, 0, 0] = 5           # all-tie plane
+    x[1, 10:14, 1, 2] = 2 ** 15 - 1   # tied max mid-range
+    x[2] = -(2 ** 15 - 1)       # all minimal
+    conf, cid = _conf_cid_packed(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(conf), x.max(axis=1))
+    np.testing.assert_array_equal(np.asarray(cid).astype(np.int64),
+                                  x.argmax(axis=1))
+
+
 def test_sparse_select_decode_parity():
     """The conf-first sparse serving path (decode_select_sparse: sort by
     class confidence FIRST, DFL-decode only the kept top-k anchors) must
