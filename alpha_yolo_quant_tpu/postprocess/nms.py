@@ -49,6 +49,11 @@ class NmsParams:
     plus_one: float = 1.0
 
 
+# Candidate selection flavor: single-key sort + top-k gathers instead of
+# the 6-operand co-sort (see _select_candidates). A/B-able by probes.
+SELECT_GATHER = False
+
+
 def quantized_iou_multiplier(iou_thres: float) -> float:
     """The q_NMS intersection multiplier, DERIVED from the IoU threshold:
     the reference hard-codes 2.22 = round(1/0.45, 2)
@@ -227,6 +232,21 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
     n = conf.shape[0]
     m = min(pre_topk or max_nms, max_nms, n)
+    if int_scores and n <= (1 << 14) and SELECT_GATHER:
+        # single-key sort + top-k gathers: sort ONLY the packed int key
+        # (same order as the co-sort below) and gather the box columns /
+        # class ids at the kept m indices. The 6-operand co-sort moves
+        # every operand through all ~log^2(n) merge passes (2.37 ms at
+        # (128,8400) on the r3 profiler trace); the key-only sort is
+        # 0.64 ms and (128,m)-sized gathers are ~free (r3_sparse2.log
+        # C2/C3). The round-2 choice of the co-sort was based on
+        # artifact-inflated gather numbers.
+        key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
+            | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+        skey = -jax.lax.sort(-key)[:m]
+        conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
+        idx = (n - 1) - (skey & ((1 << 14) - 1))
+        return box[idx], conf_s, cls[idx], conf_s > conf_thres
     if int_scores and n <= (1 << 14):
         # q_NMS fast path: scores are integer-valued (16-bit sigmoid ints,
         # or pre-sigmoid requantized ints in [-(2^15-1), 2^15-1]). Pack

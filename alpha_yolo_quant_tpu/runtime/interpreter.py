@@ -118,6 +118,17 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
     return jnp.round(jnp.clip(x, -a, a) * s).astype(out_dtype)
 
 
+# Auto conv-flavor: also run stride-2 3x3 layers as the exact
+# single-pass bf16 conv where bf16_single_ok. The round-1 heuristic
+# restricted bf16 to stride-1/1x1 based on a micro-benchmark later shown
+# to carry ~3 ms of harness artifact per number; the round-3 profiler
+# trace (r3_trace) shows the s8-path stride-2 convs at 2-3% MXU
+# utilization (the two worst layers in the network), so the restriction
+# is re-probed. Flag so probes can A/B it. Measured (r3_bf16s2.log):
+# forward 28.0 -> 26.7 ms, e2e 41.9 -> 40.3 ms at B=128, bit-exact.
+AUTO_BF16_S2 = True
+
+
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla",
@@ -262,7 +273,8 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                     continue
                 prefer_bf16 = (auto_flavor
                                and model.convs[node.name].bf16_single_ok
-                               and (node.kernel == 1 or node.stride == 1))
+                               and (node.kernel == 1 or node.stride == 1
+                                    or AUTO_BF16_S2))
                 if prefer_bf16:
                     acc = conv2d_bf16_exact(env[node.src], c["w_i8"],
                                             node.stride,
@@ -672,7 +684,7 @@ def eval_nms_params(model: QuantizedModel, conf_thres: float):
 
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
-                       engine: str = "xla", sparse_select: bool = True):
+                       engine: str = "xla", sparse_select: bool = False):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
@@ -680,8 +692,10 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
     engine: 'xla' | 'pallas' (fused kernels; bit-identical).
     sparse_select: use the conf-first sparse decode (decode_select_sparse)
     on the full-quant serving path when eligible — bit-identical to the
-    dense decode+select, ~8x less DFL work. False forces the dense path
-    (kept for parity tests and as the N >= 2^14 fallback).
+    dense decode+select with ~8x less DFL work, but measured SLOWER e2e
+    at B=128 on v5e (43.5 vs 41.9 ms, r3_confcid.log: the dense DFL
+    fuses into surrounding passes while the sort->gather->DFL chain
+    lengthens the critical path), so the dense path is the default.
     """
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (

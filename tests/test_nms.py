@@ -244,20 +244,31 @@ def test_int_key_candidate_sort_matches_argsort():
         bxywh = rng.uniform(0, 640 * 412, (4, n)).astype(np.float32)
         cls = rng.integers(0, 80, n).astype(np.float32)
         pred = (jnp.asarray(bxywh), jnp.asarray(conf), jnp.asarray(cls))
+        from alpha_yolo_quant_tpu.postprocess import nms as nms_mod
+
         ref = _select_candidates(pred, 30000, jnp.float32(thres), 1000,
                                  int_scores=False)
         got = _select_candidates(pred, 30000, jnp.float32(thres), 1000,
                                  int_scores=True)
+        try:
+            nms_mod.SELECT_GATHER = True
+            got_g = _select_candidates(pred, 30000, jnp.float32(thres),
+                                       1000, int_scores=True)
+        finally:
+            nms_mod.SELECT_GATHER = False
         n_valid = int(np.asarray(ref[3]).sum())
-        for a, b, what in zip(ref, got, ("boxes", "conf", "cls", "valid")):
-            # identical on every VALID row; invalid tail rows may be
-            # ordered differently (the argsort path orders -inf-masked
-            # rows arbitrarily) and are masked out downstream
+        for variant, sel in (("co-sort", got), ("key+gather", got_g)):
+            for a, b, what in zip(ref, sel,
+                                  ("boxes", "conf", "cls", "valid")):
+                # identical on every VALID row; invalid tail rows may be
+                # ordered differently (the argsort path orders
+                # -inf-masked rows arbitrarily) and are masked downstream
+                np.testing.assert_array_equal(
+                    np.asarray(a)[:n_valid], np.asarray(b)[:n_valid],
+                    err_msg=f"{name} {variant}: {what}")
             np.testing.assert_array_equal(
-                np.asarray(a)[:n_valid], np.asarray(b)[:n_valid],
-                err_msg=f"{name}: {what}")
-        np.testing.assert_array_equal(np.asarray(ref[3]),
-                                      np.asarray(got[3]), err_msg=name)
+                np.asarray(ref[3]), np.asarray(sel[3]),
+                err_msg=f"{name} {variant}")
 
 
 def test_q_nms_detections_unchanged_by_int_key_sort():
