@@ -161,6 +161,48 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
     validp = pad(valid)
     tri = (jnp.arange(blk)[:, None] < jnp.arange(blk)[None, :]).astype(
         jnp.bfloat16)
+
+    if n_blocks <= 16:
+        # static unroll: block k only needs suppress rows [0, end) — rows
+        # after the block have kept == 0 and contribute nothing to
+        # pre_kill (exact; keep-set parity tested). The uniform-shape
+        # scan below computes all n_pad rows for every block: the
+        # (n_pad, blk) f32 slice builds were the NMS byte sink on the r3
+        # profiler trace (2 x 67 MB per block at B=128). Triangle-shaped
+        # slices cut pair bytes ~44% and drop the scan carry overhead.
+        kept = areasp * jnp.float32(0)
+        for bi in range(n_blocks):
+            start, end = bi * blk, (bi + 1) * blk
+            xyxya_cut = tuple(v[:end] for v in xyxya)
+            xyxya_b = tuple(v[start:end] for v in xyxya)
+            s_col = _suppress_slice(xyxya_cut, xyxya_b, iou_thres,
+                                    plus_one, quantized)    # (end, blk)
+            pre_kill = (kept[:end].astype(jnp.bfloat16) @ s_col) > 0.5
+            v_b = validp[start:end] & ~pre_kill
+            t_b = s_col[start:end] * tri
+
+            def cond(c):
+                k, prev, it = c
+                return (it < blk) & jnp.any(k != prev)
+
+            def body(c, t_b=t_b, v_b=v_b):
+                k, _, it = c
+                prev = k
+                for _ in range(4):
+                    killed = (k.astype(jnp.bfloat16) @ t_b) > 0.5
+                    k, prev = v_b & ~killed, k
+                return k, prev, it + 1
+
+            k_b, _, _ = jax.lax.while_loop(
+                cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
+            kept = jax.lax.dynamic_update_slice(
+                kept, k_b.astype(jnp.float32), (start,))
+        keep_sorted = kept[:n] > 0.5
+        within = jnp.cumsum(keep_sorted.astype(jnp.int32)) <= max_det
+        keep_sorted = keep_sorted & within
+        if not presorted:
+            return jnp.zeros((n,), bool).at[perm].set(keep_sorted)
+        return keep_sorted
     blkdat = tuple(v.reshape(n_blocks, blk)
                    for v in (x1p, y1p, x2p, y2p, areasp)) \
         + (validp.reshape(n_blocks, blk),
