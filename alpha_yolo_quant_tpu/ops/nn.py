@@ -176,6 +176,33 @@ def conv2d_bf16_exact(x_int, w_i8, stride: int = 1, padding: int = 0):
     return acc.astype(jnp.int32)
 
 
+def conv2d_bf16_s2d_exact(x_int, w_s2d_i8, pre_s2d: bool = False):
+    """3x3 stride-2 pad-1 conv computed as a 2x2 stride-1 conv over the
+    space-to-depth input — bit-exact under the same bf16_single_ok bound
+    (every partial sum is an integer < 2^24, exactly representable in
+    f32, so the re-grouped accumulation order is irrelevant; the unused
+    (ph=0, k2=0) weight slots are exact zeros).
+
+    Why: the narrow stride-2 layers contract over only C_in*9 taps
+    (27 for the stem) — 2-10% MXU utilization on v5e (r3 profiler
+    trace); s2d deepens the contraction 4x/1.8x and quadruples the
+    channel dim. Matches the reference's stem conv semantics
+    (quantisation/stage_6.py conv loop) with TPU-friendly geometry.
+    The round-2 s2d probe used conv2d_s8_s2d — the s8 conv lowering
+    itself turned out to be the slow path, so that "no win" verdict
+    does not cover this bf16 variant.
+    """
+    xs = x_int.astype(jnp.bfloat16)
+    if not pre_s2d:   # pre_s2d: caller already emitted the s2d view
+        xs = space_to_depth2(xs)
+    acc = lax.conv_general_dilated(
+        xs, w_s2d_i8.astype(jnp.bfloat16), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return acc.astype(jnp.int32)
+
+
 def conv2d_int_exact(x_int, w_int, stride: int = 1, padding: int = 0):
     """Exact integer conv: int[N,C,H,W] x int[O,I,kh,kw] -> int32.
 

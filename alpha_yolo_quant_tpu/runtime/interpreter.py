@@ -67,6 +67,12 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
                  c.w_q.transpose(1, 2, 3, 0).reshape(-1, c.w_q.shape[0]),
                  jnp.int8) if c.node.kernel == 3 else None,
              "b": jnp.asarray(c.b_q, jnp.int32).reshape(1, -1, 1, 1)}
+        if (c.node.kernel == 3 and c.node.stride == 2
+                and c.node.padding == 1 and c.w_q.shape[1] <= 16
+                and c.bf16_single_ok):
+            from alpha_yolo_quant_tpu.ops.nn import s2d_weights
+
+            d["w_s2d_i8"] = jnp.asarray(s2d_weights(c.w_q), jnp.int8)
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
         if c.node.silu:
@@ -93,7 +99,7 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
 
 
 def quantize_input(x, k: int, per_image_amax: bool = False,
-                   out_dtype=jnp.int8):
+                   out_dtype=jnp.int8, s2d: bool = False):
     """Image -> int K-bit values.
 
     Default pins a=1 like the golden pipeline (reference
@@ -104,6 +110,11 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
     out_dtype: int8 by default; the bf16-storage engines request bf16
     directly (exact — every value is an integer <= 127), skipping an
     int8 materialize + convert pass at the stem.
+
+    s2d=True emits the space-to-depth(2) view (B, 12, H/2, W/2) in one
+    fused pass (the transpose rides the quantize read); int_forward's
+    stem conv then consumes it via the exact 2x2 rewrite
+    (ops/nn.conv2d_bf16_s2d_exact).
     """
     if k > 8:
         raise ValueError(f"k={k}: quantized inputs are carried as int8; "
@@ -115,7 +126,12 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
         s = qmax / a
     else:
         a, s = 1.0, float(qmax)
-    return jnp.round(jnp.clip(x, -a, a) * s).astype(out_dtype)
+    q = jnp.round(jnp.clip(x, -a, a) * s).astype(out_dtype)
+    if s2d:
+        from alpha_yolo_quant_tpu.ops.nn import space_to_depth2
+
+        q = space_to_depth2(q)
+    return q
 
 
 # Auto conv-flavor: also run stride-2 3x3 layers as the exact
@@ -127,6 +143,12 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
 # is re-probed. Flag so probes can A/B it. Measured (r3_bf16s2.log):
 # forward 28.0 -> 26.7 ms, e2e 41.9 -> 40.3 ms at B=128, bit-exact.
 AUTO_BF16_S2 = True
+
+# Space-to-depth rewrite of the narrow (C_in <= 16) stride-2 3x3 convs:
+# 2x2 stride-1 conv over the (B, C*4, H/2, W/2) view with remapped
+# weights (ops/nn.conv2d_bf16_s2d_exact). Bit-exact (integer partial
+# sums < 2^24 make the f32 accumulation order-independent). A/B flag.
+AUTO_S2D = False
 
 
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
@@ -276,9 +298,23 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                                and (node.kernel == 1 or node.stride == 1
                                     or AUTO_BF16_S2))
                 if prefer_bf16:
-                    acc = conv2d_bf16_exact(env[node.src], c["w_i8"],
-                                            node.stride,
-                                            node.padding) + c["b"]
+                    x_in = env[node.src]
+                    w_s2d = c.get("w_s2d_i8")
+                    pre_s2d = (w_s2d is not None
+                               and x_in.shape[1] == w_s2d.shape[1])
+                    if pre_s2d or (AUTO_S2D and w_s2d is not None
+                                   and x_in.shape[2] % 2 == 0
+                                   and x_in.shape[3] % 2 == 0):
+                        from alpha_yolo_quant_tpu.ops.nn import (
+                            conv2d_bf16_s2d_exact,
+                        )
+
+                        acc = conv2d_bf16_s2d_exact(
+                            x_in, w_s2d, pre_s2d=pre_s2d) + c["b"]
+                    else:
+                        acc = conv2d_bf16_exact(x_in, c["w_i8"],
+                                                node.stride,
+                                                node.padding) + c["b"]
                 else:
                     acc = conv2d_s8_exact(
                         env[node.src],
