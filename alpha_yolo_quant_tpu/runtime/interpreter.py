@@ -368,6 +368,13 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             bound = model.clip_after_residual.get(idx)
             if bound is not None:
                 out = jnp.clip(out, -bound, bound)
+            if bf16_store:
+                # wide (9-bit, |v| <= 381) residual sums are stored as
+                # int16 — exact, half the HBM bytes of int32 (their
+                # layout-churn copies at the 40-level neck were ~1.9 ms
+                # on the r3 profiler trace); every consumer widens to
+                # int32 before arithmetic
+                out = out.astype(jnp.int16)
             env[node.dst] = out
         elif isinstance(node, ConcatNode):
             # uniform part dtype: bf16 when the concat output stays in
@@ -376,7 +383,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             if bf16_store:
                 cat_dt = (jnp.bfloat16
                           if model.edge_amax_int.get(node.dst, 1 << 20)
-                          <= 127 else jnp.int32)
+                          <= 127 else jnp.int16)   # wide: exact, 1/2 bytes
             parts = []
             for e in node.srcs:
                 t = env[e]
