@@ -256,8 +256,15 @@ def test_int_key_candidate_sort_matches_argsort():
                                        1000, int_scores=True)
         finally:
             nms_mod.SELECT_GATHER = False
+        try:
+            nms_mod.SELECT_TOPK_MERGE = True
+            got_m = _select_candidates(pred, 30000, jnp.float32(thres),
+                                       1000, int_scores=True)
+        finally:
+            nms_mod.SELECT_TOPK_MERGE = False
         n_valid = int(np.asarray(ref[3]).sum())
-        for variant, sel in (("co-sort", got), ("key+gather", got_g)):
+        for variant, sel in (("co-sort", got), ("key+gather", got_g),
+                             ("topk-merge", got_m)):
             for a, b, what in zip(ref, sel,
                                   ("boxes", "conf", "cls", "valid")):
                 # identical on every VALID row; invalid tail rows may be
