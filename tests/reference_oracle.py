@@ -37,8 +37,13 @@ def _ensure_pkg(name: str, path: str | None = None):
 _BASE_LEAVES = ("stage_0", "utils.scale", "utils.a", "utils.clip")
 
 
-def load(leaf: str):
-    """Load e.g. 'utils.rescale_coeff' from the reference tree."""
+def load(leaf: str, fresh: bool = False):
+    """Load e.g. 'utils.rescale_coeff' from the reference tree.
+
+    fresh=True drops any cached module first and re-executes the script
+    — needed for the stage scripts, which run their whole pipeline at
+    import time (a second execution in the same process would otherwise
+    silently no-op off the sys.modules cache)."""
     _ensure_pkg(_PKG)
     _ensure_pkg(f"{_PKG}.quantisation", REF)
     _ensure_pkg(f"{_PKG}.quantisation.utils", os.path.join(REF, "utils"))
@@ -46,6 +51,8 @@ def load(leaf: str):
         for base in _BASE_LEAVES:
             load(base)
     fullname = f"{_PKG}.quantisation.{leaf}"
+    if fresh:
+        sys.modules.pop(fullname, None)
     if fullname in sys.modules:
         return sys.modules[fullname]
     path = os.path.join(REF, leaf.replace(".", "/") + ".py")

@@ -91,18 +91,18 @@ def golden_image() -> np.ndarray:
 
 
 def write_reference_inputs(tmp: str, graph, fused_params, max_a,
-                           k: int = 8) -> str:
+                           k: int = 8, dir_suffix: str = "nano") -> str:
     """Create the input files stage_6 loads: the fused torch state dict
-    and max_a.txt under ``{tmp}/{k}_nano/results/`` plus the directory
-    tree (stage_6 has its dirs() call commented out) and the golden-image
-    relative path."""
+    and max_a.txt under ``{tmp}/{k}_{dir_suffix}/results/`` plus the
+    directory tree (stage_6 has its dirs() call commented out) and the
+    golden-image relative path."""
     import torch
     from collections import OrderedDict
 
     from alpha_yolo_quant_tpu.export.artifacts import make_dirs
     from alpha_yolo_quant_tpu.utils.io import write_max_a
 
-    main = os.path.join(tmp, f"{k}_nano")
+    main = os.path.join(tmp, f"{k}_{dir_suffix}")
     make_dirs(main)
     sd = OrderedDict()
     for node in graph.convs():
@@ -124,7 +124,7 @@ def write_reference_inputs(tmp: str, graph, fused_params, max_a,
     return main
 
 
-def run_stage6(tmp: str, full: bool = False):
+def run_stage6(tmp: str, full: bool = False, model: str = "yolov8n"):
     """Execute the reference stage with cwd=tmp. Returns the exception
     from the detection/plotting tail, or None — with synthetic weights
     the float NMS may keep nothing and the tail then dies AFTER the last
@@ -134,6 +134,12 @@ def run_stage6(tmp: str, full: bool = False):
     time.sleep is patched out for the run: stage_6 sleeps 1.5 s after
     every layer purely to support stage_7's file-MTIME ordering hack
     (stage_6.py:115-116), which byte-comparison does not depend on.
+
+    model: "yolov8n" | "yolov8s" — selects the reference's stage_0 model
+    branch (stage_0.py:4,14-29) by patching the loaded stage_0 module
+    before the stage script imports MAIN_DIR_NAME from it; the stage
+    leaf is always freshly re-executed (its pipeline runs at import
+    time).
     """
     install_torchvision_shim()
     import time
@@ -142,12 +148,19 @@ def run_stage6(tmp: str, full: bool = False):
 
     matplotlib.use("Agg")
     leaf = "stage_6_full_quant" if full else "stage_6"
+    s0 = reference_oracle.load("stage_0")
+    s0.MODEL_NAME = {"yolov8n": "yolov8n.pt", "yolov8s": "yolov8s.pt"}[
+        model]
+    s0.MAIN_DIR_NAME = f"{s0.K}_" + (
+        "nano" if model == "yolov8n" else "small")
+    s0.W = 0.25 if model == "yolov8n" else 0.50
+    s0.detect_1_channels = 80 if model == "yolov8n" else 128
     cwd = os.getcwd()
     real_sleep = time.sleep
     os.chdir(tmp)
     time.sleep = lambda *_: None
     try:
-        reference_oracle.load(leaf)
+        reference_oracle.load(leaf, fresh=True)
         return None
     except BaseException as e:  # SystemExit from requantize, tail errors
         return e

@@ -37,8 +37,11 @@ def _setup(k=8, full_quant=False, size=64, seed=0):
     return cfg, graph, params, model
 
 
-@pytest.mark.parametrize("k", [8, 6, 4])
+@pytest.mark.parametrize("k", [8, 6, 4, 2])
 def test_interpreter_matches_golden(k):
+    # k=2 is the QuantConfig floor (weights in {-1,0,1}, 1-entry-domain
+    # LUT tails) — exercises the scale/requant machinery at its most
+    # extreme clamping
     cfg, graph, params, model = _setup(k=k)
     x = RNG.uniform(0, 1, (1, 3, cfg.image_size, cfg.image_size)).astype(
         np.float32)

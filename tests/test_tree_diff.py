@@ -25,7 +25,7 @@ not_skipped = pytest.mark.skipif(
     reason="AYQ_SKIP_TREE_DIFF=1")
 
 
-def _run(tmp_path, full: bool):
+def _run(tmp_path, full: bool, model_name: str = "yolov8n"):
     from alpha_yolo_quant_tpu.config import QuantConfig
     from alpha_yolo_quant_tpu.export.artifacts import export_all
     from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
@@ -37,14 +37,17 @@ def _run(tmp_path, full: bool):
     from alpha_yolo_quant_tpu.runtime.golden import golden_forward
 
     tmp = str(tmp_path)
-    cfg = QuantConfig(model="yolov8n", k=8, image_size=640, full_quant=full)
+    cfg = QuantConfig(model=model_name, k=8, image_size=640,
+                      full_quant=full)
     graph = build_yolov8_graph(cfg)
     params = init_params(graph, seed=3)
     img = rs.golden_image()
     max_a = reduce_stats(collect_stats(graph, params, [img]), "max")
 
-    ref_main = rs.write_reference_inputs(tmp, graph, params, max_a)
-    err = rs.run_stage6(tmp, full=full)
+    suffix = "nano" if model_name == "yolov8n" else "small"
+    ref_main = rs.write_reference_inputs(tmp, graph, params, max_a,
+                                         dir_suffix=suffix)
+    err = rs.run_stage6(tmp, full=full, model=model_name)
     # with synthetic weights the plotting/NMS tail may fail AFTER the last
     # artifact write; anything structural shows up as missing files below
     if err is not None:
@@ -78,3 +81,14 @@ def test_stage6_full_quant_whole_tree_byte_identical(tmp_path):
     incl. the quantized head artifact set and the neck-concat stale-scale
     quirk (see models/graph.py ConcatNode.declared_scale_from)."""
     _run(tmp_path, full=True)
+
+
+@ref_exists
+@not_skipped
+def test_stage6_small_whole_tree_byte_identical(tmp_path):
+    """The SECOND model family: reference stage_6 in its yolov8s branch
+    (stage_0.py:16-17,25-29 patched onto the loaded module, stage script
+    freshly re-executed) vs our yolov8s graph — full-tree byte parity.
+    Partial-quant only: the small net's per-pixel reference writers run
+    ~2x the nano time and 6b adds little model-dependent surface."""
+    _run(tmp_path, full=False, model_name="yolov8s")
