@@ -58,6 +58,31 @@ SELECT_GATHER = False
 SELECT_TOPK_MERGE = False
 
 
+def conf_sort_key(conf, n: int):
+    """Packed q_NMS candidate-selection key: ``(conf + 2^15) << 14 |
+    (n - 1 - index)`` — a descending sort of it reproduces the stable
+    argsort's descending-score, lowest-index-first order. Requires
+    n <= 2^14 and |conf| < 2^15 (17 + 14 bits in int32). The last axis
+    of ``conf`` is the candidate axis; leading batch dims broadcast.
+
+    EVERY producer of selection keys (the fast paths in
+    _select_candidates and runtime.interpreter.decode_select_sparse)
+    must build keys through this function — the preselected-NMS
+    contract depends on the bit layout staying identical everywhere."""
+    return ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
+        | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+
+
+def conf_from_key(skey):
+    """Inverse of conf_sort_key's score field."""
+    return (skey >> 14) - (1 << 15)
+
+
+def index_from_key(skey, n: int):
+    """Inverse of conf_sort_key's index field."""
+    return (n - 1) - (skey & ((1 << 14) - 1))
+
+
 def _co_exchange(key, vals, d, length):
     """One bitonic clean stage (descending) at distance d on the last
     axis (length L): compare-exchange elements i and i+d within blocks
@@ -195,6 +220,32 @@ def _suppress_slice(xyxya, xyxya_b, iou_thres, plus_one, quantized):
     return sup.astype(jnp.bfloat16)
 
 
+def _jacobi_keep(v_b, t_b, blk: int):
+    """Resolve one block's internal suppression DAG by Jacobi iteration:
+    fixpoint of k = v & ~(k @ t_b > 0.5), reached in chain-depth steps
+    (bounded by blk). 4 steps per while iteration: convergence typically
+    needs <= 5 and each while iteration carries fixed scheduling
+    overhead — extra steps past the fixpoint are exact no-ops. Shared by
+    the unrolled and scan block loops (their keep-sets must stay
+    identical)."""
+
+    def cond(c):
+        k, prev, it = c
+        return (it < blk) & jnp.any(k != prev)
+
+    def body(c):
+        k, _, it = c
+        prev = k
+        for _ in range(4):
+            killed = (k.astype(jnp.bfloat16) @ t_b) > 0.5
+            k, prev = v_b & ~killed, k
+        return k, prev, it + 1
+
+    k_b, _, _ = jax.lax.while_loop(
+        cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
+    return k_b
+
+
 def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
                      quantized, presorted: bool = False, block: int = 128):
     """Greedy NMS over score-sorted padded candidates.
@@ -263,21 +314,7 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
             pre_kill = (kept[:end].astype(jnp.bfloat16) @ s_col) > 0.5
             v_b = validp[start:end] & ~pre_kill
             t_b = s_col[start:end] * tri
-
-            def cond(c):
-                k, prev, it = c
-                return (it < blk) & jnp.any(k != prev)
-
-            def body(c, t_b=t_b, v_b=v_b):
-                k, _, it = c
-                prev = k
-                for _ in range(4):
-                    killed = (k.astype(jnp.bfloat16) @ t_b) > 0.5
-                    k, prev = v_b & ~killed, k
-                return k, prev, it + 1
-
-            k_b, _, _ = jax.lax.while_loop(
-                cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
+            k_b = _jacobi_keep(v_b, t_b, blk)
             kept = jax.lax.dynamic_update_slice(
                 kept, k_b.astype(jnp.float32), (start,))
         keep_sorted = kept[:n] > 0.5
@@ -302,27 +339,7 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
         v_b = v_row & ~pre_kill
         # block-internal DAG: this block vs itself
         t_b = jax.lax.dynamic_slice(s_col, (start, 0), (blk, blk)) * tri
-
-        def cond(c):
-            k, prev, it = c
-            return (it < blk) & jnp.any(k != prev)
-
-        def body(c):
-            # 4 Jacobi steps per while iteration: convergence needs
-            # chain-depth steps (typically <= 5), and each while
-            # iteration carries fixed scheduling overhead — unrolling
-            # trades a few redundant 128x128 matvecs for 4x fewer
-            # iterations. Exact: extra steps past the fixpoint are
-            # no-ops.
-            k, _, it = c
-            prev = k
-            for _ in range(4):
-                killed = (k.astype(jnp.bfloat16) @ t_b) > 0.5
-                k, prev = v_b & ~killed, k
-            return k, prev, it + 1
-
-        k_b, _, _ = jax.lax.while_loop(
-            cond, body, (v_b, jnp.zeros_like(v_b), jnp.int32(0)))
+        k_b = _jacobi_keep(v_b, t_b, blk)
         kept = jax.lax.dynamic_update_slice(
             kept, k_b.astype(jnp.float32), (start,))
         return kept, None
@@ -358,14 +375,13 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
     n = conf.shape[0]
     m = min(pre_topk or max_nms, max_nms, n)
     if int_scores and n <= (1 << 14) and SELECT_TOPK_MERGE:
-        key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
-            | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+        key = conf_sort_key(conf, n)
         m_keep = 1 << (max(m, 2) - 1).bit_length()
         kk, vv = _select_topk_merge(
             key, [box[:, 0], box[:, 1], box[:, 2], box[:, 3], cls],
             m_keep)
         skey = kk[:m]
-        conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
+        conf_s = conf_from_key(skey).astype(conf.dtype)
         boxes_s = jnp.stack([v[:m] for v in vv[:4]], 1)
         return boxes_s, conf_s, vv[4][:m], conf_s > conf_thres
     if int_scores and n <= (1 << 14) and SELECT_GATHER:
@@ -377,11 +393,10 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         # 0.64 ms and (128,m)-sized gathers are ~free (r3_sparse2.log
         # C2/C3). The round-2 choice of the co-sort was based on
         # artifact-inflated gather numbers.
-        key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
-            | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+        key = conf_sort_key(conf, n)
         skey = -jax.lax.sort(-key)[:m]
-        conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
-        idx = (n - 1) - (skey & ((1 << 14) - 1))
+        conf_s = conf_from_key(skey).astype(conf.dtype)
+        idx = index_from_key(skey, n)
         return box[idx], conf_s, cls[idx], conf_s > conf_thres
     if int_scores and n <= (1 << 14):
         # q_NMS fast path: scores are integer-valued (16-bit sigmoid ints,
@@ -392,13 +407,12 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         # columns and class ids as extra lax.sort operands, so no gathers
         # at all. Measured at the (128, 8400) worst case: 0.93 ms vs
         # 2.16 ms argsort+gather (r3_nms3.log G2 vs r3_nms.log S1).
-        key = ((conf.astype(jnp.int32) + (1 << 15)) << 14) \
-            | (n - 1 - jnp.arange(n, dtype=jnp.int32))
+        key = conf_sort_key(conf, n)
         srt = jax.lax.sort(
             (-key, box[:, 0], box[:, 1], box[:, 2], box[:, 3], cls),
             num_keys=1)
         skey = -srt[0][:m]
-        conf_s = ((skey >> 14) - (1 << 15)).astype(conf.dtype)
+        conf_s = conf_from_key(skey).astype(conf.dtype)
         boxes_s = jnp.stack([srt[i][:m] for i in (1, 2, 3, 4)], 1)
         # validity re-derived from sorted scores: the conf_thres cut is
         # monotone in score, so valid candidates still precede invalid

@@ -447,6 +447,30 @@ def dequantize_heads(model: QuantizedModel, outs: Dict) -> Dict:
     return deq
 
 
+def _dfl_softmax_probs(bins, axis: int, exp_lut):
+    """Quantized DFL softmax probabilities over the 16-bin axis
+    (SURVEY.md §2.3.7): p = int(y/sum * 127) with the reference's
+    float64 truncation semantics, computed as the integer-exact
+    (127*e) // sum. TPU has no integer divide, so the division runs in
+    f32 (possibly off by one at boundaries) and is corrected exactly
+    with integer ops; the f64-truncation == integer-floor equivalence
+    is PROVEN by domain exhaustion
+    (tests/test_golden_decode.py::test_dfl_softmax_f64_truncation_equals_integer_floor).
+
+    The single shared implementation serves all three decode paths
+    (dense concat-first, per-level serving, sparse top-k) — their
+    bit-exactness to each other depends on this block staying
+    identical."""
+    y = bins - jnp.max(bins, axis=axis, keepdims=True)      # <= 0
+    e = exp_lut.apply(y)                                    # [0,127]
+    ssum = jnp.maximum(jnp.sum(e, axis=axis, keepdims=True), 1)
+    ne = 127 * e
+    q0 = jnp.floor(ne.astype(jnp.float32) /
+                   ssum.astype(jnp.float32)).astype(jnp.int32)
+    r = ne - q0 * ssum
+    return q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+
 def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
                       sigmoid_cls: bool = True,
                       reduce_cls: bool = False,
@@ -500,18 +524,7 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
 
     # ---- quantized softmax over the 16 DFL bins (SURVEY.md §2.3.7) ----
     bins = box.reshape(b, 4, 16, n).transpose(0, 2, 1, 3)   # (b,16,4,n)
-    y = bins - jnp.max(bins, axis=1, keepdims=True)          # <= 0
-    e = hp["exp_lut"].apply(y)                               # [0,127]
-    ssum = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1)
-    # reference: p = int64(y/sum * 127) — float64 truncation; integer-exact
-    # equivalent (e>=0): (127*e) // sum. TPU has no integer divide, so do a
-    # f32 division (possibly off by one at boundaries) and correct exactly
-    # with integer ops.
-    ne = 127 * e
-    q0 = jnp.floor(ne.astype(jnp.float32) /
-                   ssum.astype(jnp.float32)).astype(jnp.int32)
-    r = ne - q0 * ssum
-    p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    p = _dfl_softmax_probs(bins, 1, hp["exp_lut"])
 
     # ---- quantized DFL conv + requant to anchor scale ----
     # f32 dot is exact here (|p|<=127, |w|<=127, 16 taps -> < 2^21) and
@@ -582,16 +595,7 @@ def _decode_serving_per_level(model: QuantizedModel, plan: Dict,
         cq = outs[f"{level}_cls"].astype(jnp.int32)      # (b,80,h,w)
         b, _, hh, ww = bq.shape
         bins = bq.reshape(b, 4, 16, hh, ww)
-        y = bins - jnp.max(bins, axis=2, keepdims=True)  # <= 0
-        e = hp["exp_lut"].apply(y)                       # [0,127]
-        ssum = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1)
-        # integer-exact (127*e)//sum via corrected f32 division (see
-        # decode_full_quant)
-        ne = 127 * e
-        q0 = jnp.floor(ne.astype(jnp.float32) /
-                       ssum.astype(jnp.float32)).astype(jnp.int32)
-        r = ne - q0 * ssum
-        p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        p = _dfl_softmax_probs(bins, 2, hp["exp_lut"])
         acc = jnp.einsum("bcrhw,r->bchw", p.astype(jnp.float32),
                          hp["dfl_w"].astype(jnp.float32),
                          preferred_element_type=jnp.float32
@@ -657,27 +661,21 @@ def decode_select_sparse(model: QuantizedModel, plan: Dict, outs: Dict,
     m = min(pre_topk, n)
 
     # identical key + order as _select_candidates' int fast path
-    key = ((conf + (1 << 15)) << 14) \
-        | (n - 1 - jnp.arange(n, dtype=jnp.int32))[None]
+    from alpha_yolo_quant_tpu.postprocess.nms import (
+        conf_from_key, conf_sort_key, index_from_key,
+    )
+
+    key = conf_sort_key(conf, n)
     srt = jax.lax.sort((-key, cid), num_keys=1, dimension=1)
     skey = -srt[0][:, :m]
     cid_s = srt[1][:, :m]
-    conf_s = ((skey >> 14) - (1 << 15)).astype(jnp.float32)
-    idx = (n - 1) - (skey & ((1 << 14) - 1))             # (b,m)
+    conf_s = conf_from_key(skey).astype(jnp.float32)
+    idx = index_from_key(skey, n)                        # (b,m)
 
     # top-k gather of the box bins: (b,64,m) int8
     bins_g = jnp.take_along_axis(box_flat, idx[:, None, :], axis=2)
     bins = bins_g.astype(jnp.int32).reshape(-1, 4, 16, m)
-
-    # quantized DFL softmax — expression-identical to the dense decode
-    y = bins - jnp.max(bins, axis=2, keepdims=True)      # <= 0
-    e = hp["exp_lut"].apply(y)                           # [0,127]
-    ssum = jnp.maximum(jnp.sum(e, axis=2, keepdims=True), 1)
-    ne = 127 * e
-    q0 = jnp.floor(ne.astype(jnp.float32) /
-                   ssum.astype(jnp.float32)).astype(jnp.int32)
-    r = ne - q0 * ssum
-    p = q0 + (r >= ssum).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    p = _dfl_softmax_probs(bins, 2, hp["exp_lut"])
     acc = jnp.einsum("bcrn,r->bcn", p.astype(jnp.float32),
                      hp["dfl_w"].astype(jnp.float32),
                      preferred_element_type=jnp.float32).astype(jnp.int32)
