@@ -124,7 +124,8 @@ def write_reference_inputs(tmp: str, graph, fused_params, max_a,
     return main
 
 
-def run_stage6(tmp: str, full: bool = False, model: str = "yolov8n"):
+def run_stage6(tmp: str, full: bool = False, model: str = "yolov8n",
+               k: int = 8):
     """Execute the reference stage with cwd=tmp. Returns the exception
     from the detection/plotting tail, or None — with synthetic weights
     the float NMS may keep nothing and the tail then dies AFTER the last
@@ -151,6 +152,8 @@ def run_stage6(tmp: str, full: bool = False, model: str = "yolov8n"):
     s0 = reference_oracle.load("stage_0")
     s0.MODEL_NAME = {"yolov8n": "yolov8n.pt", "yolov8s": "yolov8s.pt"}[
         model]
+    s0.K = k                                   # stage_0.py:7
+    s0.QUANT_WEIGHTS = f"QUANT_WEIGHTS_{k}.pickle"
     s0.MAIN_DIR_NAME = f"{s0.K}_" + (
         "nano" if model == "yolov8n" else "small")
     s0.W = 0.25 if model == "yolov8n" else 0.50

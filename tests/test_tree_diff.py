@@ -25,7 +25,7 @@ not_skipped = pytest.mark.skipif(
     reason="AYQ_SKIP_TREE_DIFF=1")
 
 
-def _run(tmp_path, full: bool, model_name: str = "yolov8n"):
+def _run(tmp_path, full: bool, model_name: str = "yolov8n", k: int = 8):
     from alpha_yolo_quant_tpu.config import QuantConfig
     from alpha_yolo_quant_tpu.export.artifacts import export_all
     from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
@@ -37,7 +37,7 @@ def _run(tmp_path, full: bool, model_name: str = "yolov8n"):
     from alpha_yolo_quant_tpu.runtime.golden import golden_forward
 
     tmp = str(tmp_path)
-    cfg = QuantConfig(model=model_name, k=8, image_size=640,
+    cfg = QuantConfig(model=model_name, k=k, image_size=640,
                       full_quant=full)
     graph = build_yolov8_graph(cfg)
     params = init_params(graph, seed=3)
@@ -46,8 +46,8 @@ def _run(tmp_path, full: bool, model_name: str = "yolov8n"):
 
     suffix = "nano" if model_name == "yolov8n" else "small"
     ref_main = rs.write_reference_inputs(tmp, graph, params, max_a,
-                                         dir_suffix=suffix)
-    err = rs.run_stage6(tmp, full=full, model=model_name)
+                                         k=k, dir_suffix=suffix)
+    err = rs.run_stage6(tmp, full=full, model=model_name, k=k)
     # with synthetic weights the plotting/NMS tail may fail AFTER the last
     # artifact write; anything structural shows up as missing files below
     if err is not None:
@@ -81,6 +81,16 @@ def test_stage6_full_quant_whole_tree_byte_identical(tmp_path):
     incl. the quantized head artifact set and the neck-concat stale-scale
     quirk (see models/graph.py ConcatNode.declared_scale_from)."""
     _run(tmp_path, full=True)
+
+
+@ref_exists
+@not_skipped
+def test_stage6_k4_whole_tree_byte_identical(tmp_path):
+    """The bit-width axis: reference stage_6 re-executed with stage_0.K
+    patched to 4 (stage_0.py:7 — K is the reference's primary config
+    knob) vs our K=4 export — whole-tree byte parity incl. the 4-bit
+    Verilog literals, truncating bias, LUT table and rescale budgets."""
+    _run(tmp_path, full=False, k=4)
 
 
 @ref_exists
