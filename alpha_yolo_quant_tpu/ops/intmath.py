@@ -113,6 +113,61 @@ def requantize_i32_bigshift(x, m, shift, qmax):
     return jnp.clip(round_half_up(q), -qmax, qmax)
 
 
+def requantize_i32_bigshift_folded(x, m, shift, qmax):
+    """requantize_i32_bigshift with the round-half-up FOLDED into the
+    final shift — 2 fewer vector ops on the VPU (measured 0.520 ->
+    0.341 ms at 52.4M elements on v5e, scripts/r4_epi2.log).
+
+    Identity (a = m*x, s = shift):
+        rhu(floor(a / 2^(s-1))) = floor((a + 2^(s-1)) / 2^s)
+    because rhu(q) = ceil(q/2) = floor((q+1)/2) and the nested-floor
+    identity floor((floor(a/d) + 1)/2) = floor((a + d)/(2d)).
+
+    Truncation safety: write a = t*2^15 + r with t = m*a_h +
+    ((m*a_l) >> 15) and r = (m*a_l) mod 2^15 in [0, 2^15). Both t*2^15
+    and 2^(s-1) are multiples of 2^15 (s >= 16), so (t*2^15 + 2^(s-1))
+    mod 2^s <= 2^s - 2^15; adding r <= 2^15 - 1 can never cross a 2^s
+    boundary. Hence
+        floor((a + 2^(s-1)) / 2^s) = (t + 2^(s-16)) >> (s - 15)
+    exactly.
+
+    EXTRA precondition vs requantize_i32_bigshift: the biased sum must
+    fit int32, i.e. per channel
+        floor(m * |x|_max / 2^15) + 1 + 2^(shift-16) < 2^31.
+    The quantization plan checks this against the true accumulator bound
+    (quantize/transform.py) before selecting this path.
+    """
+    x32 = x.astype(jnp.int32)
+    m_b = jnp.asarray(m, jnp.int32)
+    s_b = jnp.asarray(shift, jnp.int32)
+    a_h = jnp.right_shift(x32, 15)
+    a_l = jnp.bitwise_and(x32, 0x7FFF)
+    t = m_b * a_h + jnp.right_shift(m_b * a_l, 15)
+    bias = jnp.left_shift(jnp.int32(1), s_b - 16)   # folds: s is a literal
+    q = jnp.right_shift(t + bias, s_b - 15)
+    return jnp.clip(q, -qmax, qmax)
+
+
+def requantize_i32_direct(x, m, shift, qmax):
+    """Single-multiply exact requantization:
+        clip( floor((m*x + 2^(shift-1)) / 2^shift) )
+    == clip( rhu((m*x) >> (shift-1)) )   [same identity as the folded
+    bigshift, applied to a = m*x directly].
+
+    Precondition (plan-checked per channel against the true accumulator
+    bound): |m| * |x|_max + 2^(shift-1) < 2^31, so m*x and the biased sum
+    are exact in int32. All 57 SiLU convs of yolov8n/s at K<=8 qualify
+    for their first (acc -> sigmoid domain) requant, where m = r1 < 2^8
+    (scripts/r4_epi2.log).
+    """
+    x32 = x.astype(jnp.int32)
+    m_b = jnp.asarray(m, jnp.int32)
+    s_b = jnp.asarray(shift, jnp.int32)
+    bias = jnp.left_shift(jnp.int32(1), s_b - 1)    # folds: s is a literal
+    q = jnp.right_shift(m_b * x32 + bias, s_b)
+    return jnp.clip(q, -qmax, qmax)
+
+
 def requantize_i32(x, m, shift, qmax):
     """Exact hardware requantization on int32 lanes.
 

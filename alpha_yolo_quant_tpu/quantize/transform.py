@@ -58,6 +58,14 @@ class ConvPlan:
     # (ops/nn.conv2d_bf16_exact); measured faster than s8 on stride-1 and
     # 1x1 layers on v5e
     bf16_single_ok: bool = False
+    # per-out-channel true accumulator bound max|conv(x,w)+b| (int64)
+    acc_bound: Optional[np.ndarray] = None
+    # Requant fast paths proven in-int32-range against acc_bound (see
+    # ops/intmath.py for the identities + preconditions; selected by the
+    # runtime epilogue — all bit-exact):
+    req1_direct_ok: bool = False   # acc->sigdom via one multiply
+    fold1_ok: bool = False         # folded-rhu bigshift, first requant
+    fold2_ok: bool = False         # folded-rhu bigshift, second requant
 
 
 @dataclasses.dataclass
@@ -88,6 +96,10 @@ class HeadPlan:
     dfl_r: int                         # dfl acc -> anchor scale (16-bit)
     dfl_s: int
     anchor_scale: float
+    # requant fast-path eligibility per "p{3,4,5}_{box,cls}" role vs the
+    # head conv's true accumulator bound (ops/intmath.py preconditions)
+    req_direct_ok: Dict[str, bool] = dataclasses.field(default_factory=dict)
+    req_fold_ok: Dict[str, bool] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -107,6 +119,25 @@ class QuantizedModel:
 
 class PlanError(RuntimeError):
     pass
+
+
+def _fold_ok(m: np.ndarray, s: np.ndarray, bound: np.ndarray) -> bool:
+    """Folded-rhu bigshift precondition (requantize_i32_bigshift_folded):
+    per channel, floor(m*bound/2^15) + 1 + 2^(s-16) < 2^31 with s >= 16."""
+    m, s, bound = np.int64(m).reshape(-1), np.int64(s).reshape(-1), \
+        np.int64(bound).reshape(-1)
+    if s.min() < 16:
+        return False
+    t_max = (m * bound >> 15) + 1
+    return bool(np.all(t_max + (np.int64(1) << (s - 16)) < 2 ** 31))
+
+
+def _direct_ok(m: np.ndarray, s: np.ndarray, bound: np.ndarray) -> bool:
+    """Single-multiply requant precondition (requantize_i32_direct):
+    per channel, m*bound + 2^(s-1) < 2^31."""
+    m, s, bound = np.int64(m).reshape(-1), np.int64(s).reshape(-1), \
+        np.int64(bound).reshape(-1)
+    return bool(np.all(m * bound + (np.int64(1) << (s - 1)) < 2 ** 31))
 
 
 def _check_accumulator_bounds(node: ConvNode, w_q: np.ndarray,
@@ -192,13 +223,13 @@ def build_quantized_model(graph: Graph, params: Dict,
             # (b) every input exactly representable in bf16 — integers up to
             # 256 only (8-bit mantissa); chained-residual concat edges reach
             # 381, where odd values > 256 would round silently.
-            bf16_ok = bool((wabs * edge_amax[node.src]
-                            + np.abs(np.int64(b_q))).max() < 2 ** 24
+            acc_bound = wabs * edge_amax[node.src] + np.abs(np.int64(b_q))
+            bf16_ok = bool(acc_bound.max() < 2 ** 24
                            and edge_amax[node.src] <= 256)
             plan = ConvPlan(node=node, w_q=w_q.astype(np.int32),
                             b_q=b_q.astype(np.int32), in_scale=float(in_s),
                             w_scales=w_scales[:, 0], acc_scale=acc_scale,
-                            bf16_single_ok=bf16_ok)
+                            bf16_single_ok=bf16_ok, acc_bound=acc_bound)
             if node.silu:
                 a_out = max_a[node.out_tap]
                 out_s = scale_for(a_out, k)
@@ -226,6 +257,17 @@ def build_quantized_model(graph: Graph, params: Dict,
                 plan.s2 = np.int64(s2).astype(np.int32)
                 plan.bigshift_ok = bool(plan.s1.min() >= 16 and
                                         plan.s2.min() >= 16)
+                # requant fast-path eligibility vs the TRUE accumulator
+                # bound (ops/intmath.py preconditions; the epilogue's
+                # second requant folds sigma into the multiplier, so its
+                # magnitude bound is r2 * max(sigma table))
+                plan.req1_direct_ok = _direct_ok(plan.r1, plan.s1,
+                                                 acc_bound)
+                plan.fold1_ok = _fold_ok(plan.r1, plan.s1, acc_bound)
+                plan.fold2_ok = _fold_ok(
+                    np.int64(plan.r2).reshape(-1)
+                    * int(np.int64(sig.values).max()),
+                    plan.s2, acc_bound)
                 plan.out_scale = float(out_s)
                 edge_scale[node.dst] = float(out_s)
                 edge_amax[node.dst] = qmax
@@ -295,6 +337,7 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
     box_scale = scale_for(cfg.dfl_max, 8)
     cls_scale = scale_for(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
     box_r, box_s, cls_r, cls_s = {}, {}, {}, {}
+    direct_ok, fold_ok = {}, {}
     for level, head_name in (("p3", "x_result_5"), ("p4", "x_result_6"),
                              ("p5", "x")):
         upn = f"{head_name}_up_2" if head_name != "x" else "x_up_2"
@@ -305,10 +348,14 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
                                     cfg.koeff_bits)
         box_r[level] = np.int64(r).astype(np.int32)
         box_s[level] = np.int64(s).astype(np.int32)
+        direct_ok[f"{level}_box"] = _direct_ok(r, s, up_plan.acc_bound)
+        fold_ok[f"{level}_box"] = _fold_ok(r, s, up_plan.acc_bound)
         r, s = derive_rescale_shift(dn_plan.acc_scale, cls_scale,
                                     cfg.koeff_bits)
         cls_r[level] = np.int64(r).astype(np.int32)
         cls_s[level] = np.int64(s).astype(np.int32)
+        direct_ok[f"{level}_cls"] = _direct_ok(r, s, dn_plan.acc_bound)
+        fold_ok[f"{level}_cls"] = _fold_ok(r, s, dn_plan.acc_bound)
 
     exp = exponent_lut(cfg.dfl_max, 8)
     cls_sig = sigmoid_lut(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
@@ -325,4 +372,5 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
                     dfl_w_q=dfl_w_q.astype(np.int32),
                     dfl_acc_scale=dfl_acc_scale,
                     dfl_r=int(r), dfl_s=int(s),
-                    anchor_scale=float(anchor_scale))
+                    anchor_scale=float(anchor_scale),
+                    req_direct_ok=direct_ok, req_fold_ok=fold_ok)

@@ -27,7 +27,9 @@ from alpha_yolo_quant_tpu.models.graph import (
 )
 from alpha_yolo_quant_tpu.models.head import dist2bbox, make_anchors
 from alpha_yolo_quant_tpu.ops.intmath import (
-    requantize_i32, requantize_i32_bigshift, requantize_i32_small,
+    requantize_i32, requantize_i32_bigshift,
+    requantize_i32_bigshift_folded, requantize_i32_direct,
+    requantize_i32_small,
 )
 from alpha_yolo_quant_tpu.ops.nn import (
     conv2d_int_exact, maxpool2d, upsample_nearest,
@@ -48,6 +50,11 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
 
     plan: Dict = {"convs": {}, "requants": {},
                   "sig_lut": build_fast_lut(model.sig_lut, "sigmoid")}
+    # the SiLU epilogue uses the mask-free apply_clipped: its domain
+    # input is clipped to +-qmax, which the table must cover
+    assert (model.sig_lut.lo <= -model.cfg.qmax
+            and model.sig_lut.hi >= model.cfg.qmax), \
+        "sigmoid LUT domain must cover the clipped requant range"
     if pallas:
         from alpha_yolo_quant_tpu.runtime.pallas_ops import (
             pallas_sigma_corrections,
@@ -331,15 +338,25 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
                                        node.padding) + c["b"]
             if node.silu:
-                req = (requantize_i32_bigshift
-                       if model.convs[node.name].bigshift_ok
-                       else requantize_i32)
-                dom = req(acc, cshape(c["r1"]), cshape(c["s1"]), qmax)
+                cp = model.convs[node.name]
+                # fastest proven-exact formulation per requant (flags
+                # checked against the true accumulator bound at plan
+                # time; all four produce identical bits — see
+                # ops/intmath.py, scripts/r4_epi2.log)
+                req1 = (requantize_i32_direct if cp.req1_direct_ok
+                        else requantize_i32_bigshift_folded if cp.fold1_ok
+                        else requantize_i32_bigshift if cp.bigshift_ok
+                        else requantize_i32)
+                req2 = (requantize_i32_bigshift_folded if cp.fold2_ok
+                        else requantize_i32_bigshift if cp.bigshift_ok
+                        else requantize_i32)
+                dom = req1(acc, cshape(c["r1"]), cshape(c["s1"]), qmax)
                 if keep_env:
                     env[f"{node.name}:sigdom"] = dom
-                sigma = plan["sig_lut"].apply(dom)
+                # dom is clipped to +-qmax: mask-free LUT apply
+                sigma = plan["sig_lut"].apply_clipped(dom)
                 m = sigma * cshape(c["r2"])   # < 2^15, exact folding
-                out = req(acc, m, cshape(c["s2"]), qmax)
+                out = req2(acc, m, cshape(c["s2"]), qmax)
                 if bf16_store:
                     env[node.dst] = out.astype(jnp.bfloat16)
                 elif use_s8:
@@ -422,7 +439,11 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             for kind, qmx, dt in (("box", 127, jnp.int8),
                                   ("cls", 2 ** 15 - 1, jnp.int16)):
                 role = f"{level}_{kind}"
-                req = (requantize_i32_bigshift
+                req = (requantize_i32_direct
+                       if h.req_direct_ok.get(role)
+                       else requantize_i32_bigshift_folded
+                       if h.req_fold_ok.get(role)
+                       else requantize_i32_bigshift
                        if int(np.min(getattr(h, f"{kind}_s")[level])) >= 16
                        else requantize_i32)
                 outs[role] = req(outs[role], hp[f"{kind}_r"][level],

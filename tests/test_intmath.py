@@ -123,3 +123,97 @@ def test_derive_rescale_shift_budget():
     assert np.all(r <= 255) and np.all(r >= 0)
     # round(2^s / 100) should recover ~2^s/100
     np.testing.assert_allclose(r / 2.0**s, 1 / 100.0, rtol=0.01)
+
+
+def _rhu_oracle(m, x, s, qmax):
+    """int64 golden: clip(round_half_up((m*x) >> (s-1)), -qmax, qmax)."""
+    q = (np.int64(m) * np.int64(x)) >> (np.int64(s) - 1)
+    return np.clip(q // 2 + q % 2, -qmax, qmax)
+
+
+def test_requantize_bigshift_folded_matches_int64():
+    """Folded-rhu bigshift == the int64 oracle across random draws that
+    respect its precondition, including the shift=16 edge and values at
+    the precondition's int32 boundary."""
+    from alpha_yolo_quant_tpu.ops.intmath import (
+        requantize_i32_bigshift_folded,
+    )
+
+    for trial in range(50):
+        s = int(RNG.integers(16, 40))
+        m = RNG.integers(0, 1 << 15, size=4096).astype(np.int64)
+        # precondition: floor(m*|x|/2^15) + 1 + 2^(s-16) < 2^31
+        t_budget = (np.int64(2) ** 31 - 2 - (np.int64(1) << (s - 16)))
+        x_bound = np.minimum((t_budget << 15) // np.maximum(m, 1),
+                             np.int64(2) ** 31 - 1)
+        x = (RNG.random(4096) * 2 - 1) * x_bound
+        x = x.astype(np.int64)
+        got = np.asarray(requantize_i32_bigshift_folded(
+            jnp.asarray(x.astype(np.int32)),
+            jnp.asarray(m.astype(np.int32)),
+            jnp.full(4096, s, np.int32), 127))
+        np.testing.assert_array_equal(got, _rhu_oracle(m, x, s, 127),
+                                      err_msg=f"s={s}")
+    # exact precondition boundary: max t + bias == 2^31 - 1
+    for s in (16, 20, 31, 40):
+        m = np.int64(32767)
+        t_max = np.int64(2) ** 31 - 1 - (np.int64(1) << (s - 16)) - 1
+        x = np.minimum((t_max << 15) // m, np.int64(2) ** 31 - 1)
+        for xv in (x, -x, np.int64(0), np.int64(1), np.int64(-1)):
+            got = np.asarray(requantize_i32_bigshift_folded(
+                jnp.asarray(np.int32(xv)), jnp.asarray(np.int32(m)),
+                jnp.asarray(np.int32(s)), 127))
+            np.testing.assert_array_equal(
+                got, _rhu_oracle(m, xv, s, 127), err_msg=f"s={s} x={xv}")
+
+
+def test_requantize_direct_matches_int64():
+    """Single-multiply requant == the int64 oracle under its
+    precondition |m*x| + 2^(s-1) < 2^31, incl. boundary values."""
+    from alpha_yolo_quant_tpu.ops.intmath import requantize_i32_direct
+
+    for trial in range(50):
+        s = int(RNG.integers(1, 31))
+        m = RNG.integers(0, 256, size=4096).astype(np.int64)
+        x_bound = (np.int64(2) ** 31 - 1 - (np.int64(1) << (s - 1))) \
+            // np.maximum(m, 1)
+        x_bound = np.minimum(x_bound, np.int64(2) ** 31 - 1)
+        x = ((RNG.random(4096) * 2 - 1) * x_bound).astype(np.int64)
+        got = np.asarray(requantize_i32_direct(
+            jnp.asarray(x.astype(np.int32)),
+            jnp.asarray(m.astype(np.int32)),
+            jnp.full(4096, s, np.int32), 127))
+        np.testing.assert_array_equal(got, _rhu_oracle(m, x, s, 127),
+                                      err_msg=f"s={s}")
+    # boundary: m*x + 2^(s-1) == 2^31 - 1 exactly
+    for s in (1, 8, 16, 30):
+        m = np.int64(255)
+        x = (np.int64(2) ** 31 - 1 - (np.int64(1) << (s - 1))) // m
+        for xv in (x, -x, np.int64(0)):
+            got = np.asarray(requantize_i32_direct(
+                jnp.asarray(np.int32(xv)), jnp.asarray(np.int32(m)),
+                jnp.asarray(np.int32(s)), 127))
+            np.testing.assert_array_equal(
+                got, _rhu_oracle(m, xv, s, 127), err_msg=f"s={s} x={xv}")
+
+
+def test_fastlut_apply_clipped_matches_apply_in_domain():
+    """apply_clipped == apply for in-domain inputs, for both the
+    arithmetic and gather paths."""
+    import dataclasses as _dc
+
+    from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
+    from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
+
+    for k in (4, 6, 8):
+        lut = sigmoid_lut(6.0, k)
+        flut = build_fast_lut(lut, "sigmoid")
+        x = np.arange(lut.lo, lut.hi + 1, dtype=np.int32)
+        a = np.asarray(flut.apply(jnp.asarray(x)))
+        b = np.asarray(flut.apply_clipped(jnp.asarray(x)))
+        np.testing.assert_array_equal(a, b, err_msg=f"k={k}")
+        np.testing.assert_array_equal(b, lut.apply_np(x), err_msg=f"k={k}")
+        gather = _dc.replace(flut, use_gather=True)
+        np.testing.assert_array_equal(
+            np.asarray(gather.apply_clipped(jnp.asarray(x))),
+            lut.apply_np(x), err_msg=f"k={k} gather")
