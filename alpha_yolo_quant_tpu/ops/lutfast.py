@@ -44,6 +44,28 @@ def _sigmoid_core(lut: Lut):
     return fn
 
 
+def _sigmoid_core_tanh(lut: Lut):
+    """Op-diet sigmoid core: divide -> multiply, sigmoid as
+    0.5 + 0.5*tanh(x/2) (one bounded transcendental — no overflow for
+    out-of-domain inputs), and no clip (sigmoid in [0,1] makes
+    round(s*qmax) land in [0, qmax] by construction). Bit-exactness is
+    NOT assumed — build_fast_lut validates every core exhaustively on
+    the runtime backend and falls back to the reference core / gather
+    if corrections blow up. Measured 0.34 -> 0.26 ms at 52.4M elements
+    in the dieted epilogue (scripts/r4_sig.log; 0 corrections on both
+    CPU and TPU for the 8-bit serving table)."""
+    qmax_t = np.float32(2 ** (lut.bits - 1) - 1)
+    scale = np.float32((2 ** (lut.bits - 1) - 1) / lut.max_val)
+    half_inv = np.float32(np.float32(0.5) / scale)
+
+    def fn(x):
+        d = x.astype(jnp.float32) * half_inv
+        s = jnp.float32(0.5) + jnp.float32(0.5) * jnp.tanh(d)
+        return jnp.round(s * qmax_t).astype(jnp.int32)
+
+    return fn
+
+
 @dataclasses.dataclass
 class FastLut:
     """Validated arithmetic LUT. apply(x) is bit-identical to
@@ -99,32 +121,53 @@ class FastLut:
 
 
 def build_fast_lut(lut: Lut, kind: str) -> FastLut:
-    """kind: 'sigmoid' | 'exp'. Validates on the current default backend."""
+    """kind: 'sigmoid' | 'exp'. Validates on the current default backend.
+
+    Candidate cores are tried cheapest-first; the first whose exhaustive
+    domain validation needs <= MAX_CORRECTIONS fixups wins, so a faster
+    formulation can never change a single output bit — it can only fall
+    back to the slower core or the gather."""
     if kind == "sigmoid":
-        core = _sigmoid_core(lut)
+        cores = [_sigmoid_core_tanh(lut), _sigmoid_core(lut)]
     elif kind == "exp":
         # note: dequantize in the reference exponent table uses the same
         # signed scale law as sigmoid (utils/exponent.py:8-13); only the
         # DOMAIN is unsigned-width.
         qmax_t = np.float32(2 ** (lut.bits - 1) - 1)
         scale = np.float32((2 ** (lut.bits - 1) - 1) / lut.max_val)
+        inv_s = np.float32(np.float32(1.0) / scale)
 
-        def core(x):
+        def core_mul(x):
+            d = x.astype(jnp.float32) * inv_s
+            e = jnp.exp(d)
+            return jnp.clip(jnp.round(e * qmax_t), -qmax_t, qmax_t).astype(
+                jnp.int32)
+
+        def core_div(x):
             d = x.astype(jnp.float32) / scale
             e = jnp.exp(d)
             return jnp.clip(jnp.round(e * qmax_t), -qmax_t, qmax_t).astype(
                 jnp.int32)
+
+        cores = [core_mul, core_div]
     else:
         raise ValueError(kind)
 
     idx = jnp.arange(lut.lo, lut.hi + 1, dtype=jnp.int32)
-    got = np.asarray(jax.jit(core)(idx))
     want = lut.values
-    bad = np.nonzero(got != want)[0]
-    corrections: List[Tuple[int, int]] = [
-        (int(i + lut.lo), int(want[i])) for i in bad]
-    use_gather = len(corrections) > MAX_CORRECTIONS
+    best: List[Tuple[int, int]] = []
+    core = cores[-1]
+    for cand in cores:
+        got = np.asarray(jax.jit(cand)(idx))
+        bad = np.nonzero(got != want)[0]
+        corrections = [(int(i + lut.lo), int(want[i])) for i in bad]
+        if len(corrections) <= MAX_CORRECTIONS:
+            core, best = cand, corrections
+            break
+        if cand is cores[-1]:
+            core, best = cand, corrections
+    use_gather = len(best) > MAX_CORRECTIONS
     return FastLut(lut=lut, core=core,
-                   corrections=tuple(corrections), use_gather=use_gather,
+                   corrections=tuple(best), use_gather=use_gather,
                    table=jnp.asarray(lut.values, jnp.int32),
                    validated_backend=jax.default_backend(), kind=kind)
