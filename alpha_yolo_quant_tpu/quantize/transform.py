@@ -100,6 +100,8 @@ class HeadPlan:
     # head conv's true accumulator bound (ops/intmath.py preconditions)
     req_direct_ok: Dict[str, bool] = dataclasses.field(default_factory=dict)
     req_fold_ok: Dict[str, bool] = dataclasses.field(default_factory=dict)
+    # DFL accumulator requant: |acc| <= 16 taps * 127 probs * max|w|
+    dfl_direct_ok: bool = False
 
 
 @dataclasses.dataclass
@@ -366,6 +368,9 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
     anchor_scale = scale_for(_anchor_max(cfg.image_size), 16)
     r, s = derive_rescale_shift(np.float64(dfl_acc_scale), anchor_scale,
                                 cfg.koeff_bits)
+    # DFL acc = sum over 16 bins of p (in [0,127]) * w_q — true bound
+    dfl_bound = int(127 * np.abs(np.int64(dfl_w_q)).sum())
+    dfl_dir = _direct_ok(np.int64(r), np.int64(s), np.int64(dfl_bound))
     return HeadPlan(box_r=box_r, box_s=box_s, box_scale=float(box_scale),
                     cls_r=cls_r, cls_s=cls_s, cls_scale=float(cls_scale),
                     exp_lut=exp, cls_sigmoid_lut=cls_sig,
@@ -373,4 +378,5 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
                     dfl_acc_scale=dfl_acc_scale,
                     dfl_r=int(r), dfl_s=int(s),
                     anchor_scale=float(anchor_scale),
-                    req_direct_ok=direct_ok, req_fold_ok=fold_ok)
+                    req_direct_ok=direct_ok, req_fold_ok=fold_ok,
+                    dfl_direct_ok=dfl_dir)

@@ -553,8 +553,9 @@ def decode_full_quant(model: QuantizedModel, plan: Dict, outs: Dict,
     acc = jnp.einsum("brcn,r->bcn", p.astype(jnp.float32),
                      hp["dfl_w"].astype(jnp.float32),
                      preferred_element_type=jnp.float32).astype(jnp.int32)
-    dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
-                           2 ** 15 - 1)
+    dfl_req = requantize_i32_direct if h.dfl_direct_ok else requantize_i32
+    dfl_q = dfl_req(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
+                    2 ** 15 - 1)
 
     # ---- quantized anchors ----
     anchors, strides = make_anchors(shapes)
@@ -621,8 +622,10 @@ def _decode_serving_per_level(model: QuantizedModel, plan: Dict,
                          hp["dfl_w"].astype(jnp.float32),
                          preferred_element_type=jnp.float32
                          ).astype(jnp.int32)
-        dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r),
-                               jnp.int32(h.dfl_s), 2 ** 15 - 1)
+        dfl_req = (requantize_i32_direct if h.dfl_direct_ok
+                   else requantize_i32)
+        dfl_q = dfl_req(acc, jnp.int32(h.dfl_r),
+                        jnp.int32(h.dfl_s), 2 ** 15 - 1)
         anchors_l, strides_l = make_anchors([(hh, ww)],
                                             strides=STRIDES[li:li + 1])
         anchors_ql = jnp.round(anchors_l * h.anchor_scale)
@@ -700,8 +703,9 @@ def decode_select_sparse(model: QuantizedModel, plan: Dict, outs: Dict,
     acc = jnp.einsum("bcrn,r->bcn", p.astype(jnp.float32),
                      hp["dfl_w"].astype(jnp.float32),
                      preferred_element_type=jnp.float32).astype(jnp.int32)
-    dfl_q = requantize_i32(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
-                           2 ** 15 - 1)
+    dfl_req = requantize_i32_direct if h.dfl_direct_ok else requantize_i32
+    dfl_q = dfl_req(acc, jnp.int32(h.dfl_r), jnp.int32(h.dfl_s),
+                    2 ** 15 - 1)
 
     # per-anchor constants gathered by the same index
     anchors, strides = make_anchors(shapes, strides=STRIDES)

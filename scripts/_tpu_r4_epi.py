@@ -98,8 +98,11 @@ def fwd(x):
 
 
 orig_apply = lutfast.FastLut.apply
+orig_applyc = lutfast.FastLut.apply_clipped
 orig_req = interp.requantize_i32
 orig_reqb = interp.requantize_i32_bigshift
+orig_reqf = interp.requantize_i32_bigshift_folded
+orig_reqd = interp.requantize_i32_direct
 
 def _trivial_req(x, m, shift, qmax):
     return jnp.clip(jnp.right_shift(x, 8), -qmax, qmax)
@@ -126,20 +129,29 @@ else:
 
     # ---- V1: sigma := dom (timing-only)
     lutfast.FastLut.apply = lambda self, x: x
+    lutfast.FastLut.apply_clipped = lambda self, x: x
     slope_time("V1 fwd sigma=identity", fwd, x_q)
 
     # ---- V2: V1 + trivial requants (timing-only)
     interp.requantize_i32 = _trivial_req
     interp.requantize_i32_bigshift = _trivial_req
+    interp.requantize_i32_bigshift_folded = _trivial_req
+    interp.requantize_i32_direct = _trivial_req
     slope_time("V2 fwd trivial-epilogue", fwd, x_q)
 
     lutfast.FastLut.apply = orig_apply
+    lutfast.FastLut.apply_clipped = orig_applyc
     interp.requantize_i32 = orig_req
     interp.requantize_i32_bigshift = orig_reqb
+    interp.requantize_i32_bigshift_folded = orig_reqf
+    interp.requantize_i32_direct = orig_reqd
 
 # -------------------------------------------------------------------
 # Standalone XLA epilogue kernels at the C64@80 element count.
 # -------------------------------------------------------------------
+if os.environ.get("EPI_SKIP_XEPI") == "1":
+    print("done", flush=True)
+    sys.exit(0)
 sig = model.sig_lut
 SIG_SCALE = np.float32((2 ** (sig.bits - 1) - 1) / sig.max_val)
 SIG_QMAX = np.float32(2 ** (sig.bits - 1) - 1)
