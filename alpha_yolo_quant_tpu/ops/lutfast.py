@@ -155,16 +155,19 @@ def build_fast_lut(lut: Lut, kind: str) -> FastLut:
 
     idx = jnp.arange(lut.lo, lut.hi + 1, dtype=jnp.int32)
     want = lut.values
-    best: List[Tuple[int, int]] = []
-    core = cores[-1]
+    # Evaluate every candidate; keep the one with the FEWEST corrections
+    # (earlier = cheaper core wins ties). Validation runs the core BOTH
+    # jitted and eagerly: XLA's fused f32 transcendentals can round a
+    # boundary point differently from the op-by-op eager path (observed:
+    # one point of the 16-bit table on CPU), and a correction emitted
+    # for the union of mismatches overrides the core in both modes.
+    core, best = None, None
     for cand in cores:
-        got = np.asarray(jax.jit(cand)(idx))
-        bad = np.nonzero(got != want)[0]
+        got_jit = np.asarray(jax.jit(cand)(idx))
+        got_eager = np.asarray(cand(idx))
+        bad = np.nonzero((got_jit != want) | (got_eager != want))[0]
         corrections = [(int(i + lut.lo), int(want[i])) for i in bad]
-        if len(corrections) <= MAX_CORRECTIONS:
-            core, best = cand, corrections
-            break
-        if cand is cores[-1]:
+        if best is None or len(corrections) < len(best):
             core, best = cand, corrections
     use_gather = len(best) > MAX_CORRECTIONS
     return FastLut(lut=lut, core=core,

@@ -125,10 +125,17 @@ class PlanError(RuntimeError):
 
 def _fold_ok(m: np.ndarray, s: np.ndarray, bound: np.ndarray) -> bool:
     """Folded-rhu bigshift precondition (requantize_i32_bigshift_folded):
-    per channel, floor(m*bound/2^15) + 1 + 2^(s-16) < 2^31 with s >= 16."""
+    per channel, floor(m*bound/2^15) + 1 + 2^(s-16) < 2^31 with s >= 16,
+    AND m < 2^15 — the widening decomposition t = m*a_h + (m*a_l >> 15)
+    needs m*a_h and m*a_l to fit int32 for ANY int32 x (a_l reaches
+    0x7FFF for every negative x regardless of acc_bound). m stays below
+    2^15 today (m_max = r2*sigma_max <= 255*127 = 32385 at koeff_bits=8,
+    K<=8) but this is a config-dependent margin of only 383."""
+    from alpha_yolo_quant_tpu.ops.intmath import I15_MAX
+
     m, s, bound = np.int64(m).reshape(-1), np.int64(s).reshape(-1), \
         np.int64(bound).reshape(-1)
-    if s.min() < 16:
+    if s.min() < 16 or m.max() >= I15_MAX:
         return False
     t_max = (m * bound >> 15) + 1
     return bool(np.all(t_max + (np.int64(1) << (s - 16)) < 2 ** 31))

@@ -205,15 +205,25 @@ def test_fastlut_apply_clipped_matches_apply_in_domain():
     from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
     from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
 
-    for k in (4, 6, 8):
-        lut = sigmoid_lut(6.0, k)
+    import jax
+
+    for k, bits in ((4, None), (6, None), (8, None), (12.0, 16)):
+        lut = (sigmoid_lut(6.0, k) if bits is None
+               else sigmoid_lut(k, bits))
         flut = build_fast_lut(lut, "sigmoid")
         x = np.arange(lut.lo, lut.hi + 1, dtype=np.int32)
-        a = np.asarray(flut.apply(jnp.asarray(x)))
-        b = np.asarray(flut.apply_clipped(jnp.asarray(x)))
-        np.testing.assert_array_equal(a, b, err_msg=f"k={k}")
-        np.testing.assert_array_equal(b, lut.apply_np(x), err_msg=f"k={k}")
+        want = lut.apply_np(x)
+        # both EAGER and JITTED evaluation must match the table — XLA's
+        # fused f32 transcendentals can round boundary points differently
+        # from the eager op-by-op path; build_fast_lut corrects the union
+        for mode, wrap in (("eager", lambda f: f), ("jit", jax.jit)):
+            np.testing.assert_array_equal(
+                np.asarray(wrap(flut.apply)(jnp.asarray(x))), want,
+                err_msg=f"k={k} apply {mode}")
+            np.testing.assert_array_equal(
+                np.asarray(wrap(flut.apply_clipped)(jnp.asarray(x))), want,
+                err_msg=f"k={k} apply_clipped {mode}")
         gather = _dc.replace(flut, use_gather=True)
         np.testing.assert_array_equal(
             np.asarray(gather.apply_clipped(jnp.asarray(x))),
-            lut.apply_np(x), err_msg=f"k={k} gather")
+            want, err_msg=f"k={k} gather")
