@@ -48,9 +48,24 @@ def maxpool2d(x, kernel: int = 5, stride: int = 1, padding: int = 2,
 
 
 def upsample_nearest(x, factor: int = 2, nhwc: bool = False):
-    """Nearest 2x upsample = repeat along H and W (reference stage_6.py:72-73)."""
+    """Nearest 2x upsample = repeat along H and W (reference stage_6.py:72-73).
+
+    One broadcast + reshape instead of two jnp.repeat calls: chained
+    repeats materialize the half-upsampled intermediate through HBM
+    (the (B,C,2H,W)-sized broadcast was 0.57 ms/step on the r4 trace);
+    a single 6-D broadcast writes each output byte once. Values are
+    identical (pure replication)."""
     h_ax, w_ax = (1, 2) if nhwc else (2, 3)
-    return jnp.repeat(jnp.repeat(x, factor, axis=h_ax), factor, axis=w_ax)
+    f = factor
+    sh = list(x.shape)
+    xe = jnp.expand_dims(jnp.expand_dims(x, w_ax + 1), h_ax + 1)
+    tgt = list(xe.shape)
+    tgt[h_ax + 1] = f
+    tgt[w_ax + 2] = f
+    out_sh = list(sh)
+    out_sh[h_ax] *= f
+    out_sh[w_ax] *= f
+    return jnp.broadcast_to(xe, tgt).reshape(out_sh)
 
 
 # ---------------------------------------------------------------------------
