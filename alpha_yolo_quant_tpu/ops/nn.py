@@ -54,7 +54,12 @@ def upsample_nearest(x, factor: int = 2, nhwc: bool = False):
     repeats materialize the half-upsampled intermediate through HBM
     (the (B,C,2H,W)-sized broadcast was 0.57 ms/step on the r4 trace);
     a single 6-D broadcast writes each output byte once. Values are
-    identical (pure replication)."""
+    identical (pure replication).
+
+    The (H,f) and (W,f) pairs are merged by TWO consecutive reshapes
+    (one axis group each), not one: jax's sharding-typed reshape rejects
+    multi-group merges under a mesh (dryrun_multichip hit this), and XLA
+    collapses adjacent reshapes so single-device codegen is unchanged."""
     h_ax, w_ax = (1, 2) if nhwc else (2, 3)
     f = factor
     sh = list(x.shape)
@@ -62,10 +67,13 @@ def upsample_nearest(x, factor: int = 2, nhwc: bool = False):
     tgt = list(xe.shape)
     tgt[h_ax + 1] = f
     tgt[w_ax + 2] = f
+    mid = list(tgt)
+    del mid[w_ax + 2]
+    mid[w_ax + 1] = sh[w_ax] * f
     out_sh = list(sh)
     out_sh[h_ax] *= f
     out_sh[w_ax] *= f
-    return jnp.broadcast_to(xe, tgt).reshape(out_sh)
+    return jnp.broadcast_to(xe, tgt).reshape(mid).reshape(out_sh)
 
 
 # ---------------------------------------------------------------------------

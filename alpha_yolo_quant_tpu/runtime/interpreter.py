@@ -122,7 +122,18 @@ def quantize_input(x, k: int, per_image_amax: bool = False,
     fused pass (the transpose rides the quantize read); int_forward's
     stem conv then consumes it via the exact 2x2 rewrite
     (ops/nn.conv2d_bf16_s2d_exact).
+
+    uint8 ingest: x may be raw uint8 pixels (the serving-faithful input
+    — JPEG decode yields u8, and shipping u8 to the device moves 4x
+    fewer bytes than f32). The normalize x = u/255 runs HERE in f32 —
+    IEEE division is correctly rounded, so the result is bit-identical
+    to a host float loader computing u/255 and feeding f32 (the
+    reference's dataloader contract). The divide fuses into the
+    quantize pass: the fusion then reads 157 MB of u8 instead of 629 MB
+    of f32 at B=128/640.
     """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / jnp.float32(255.0)
     if k > 8:
         raise ValueError(f"k={k}: quantized inputs are carried as int8; "
                          "K > 8 would silently wrap (QuantConfig enforces "
@@ -156,6 +167,42 @@ AUTO_BF16_S2 = True
 # weights (ops/nn.conv2d_bf16_s2d_exact). Bit-exact (integer partial
 # sums < 2^24 make the f32 accumulation order-independent). A/B flag.
 AUTO_S2D = False
+
+# Sibling-conv merge: convs that read the SAME input edge with identical
+# (kernel, stride, padding) geometry run as ONE conv with the weight
+# tensors concatenated along C_out; each member's epilogue then reads
+# its accumulator slice (slices fuse into the epilogue pass). Bit-exact:
+# every output channel's dot product is computed identically — merging
+# only adds independent channels. The win is structural: the shared
+# input (the 105 MB c2f15 edge at B=128 for the p3 head pair) is read
+# from HBM once instead of per-conv. In this graph the groups are the
+# three detect-head stem pairs ({level}_up_0 / {level}_down_0). A/B flag.
+#
+# Measured and KEPT OFF (r5_merge/r5_merge2/r5_mergetrace logs): the
+# isolated p3 pair WINS (merged conv + sliced epi 0.428 ms vs 0.470 ms
+# for two separate convs+epi), but in the full graph the merge flips
+# XLA's schedule into a pathological 30 ms fusion (e2e 70.3 vs 31.7 ms).
+# The machinery + bit-exactness test stay so the route can be re-probed
+# on future toolchains.
+AUTO_MERGE_SIBLINGS = False
+
+
+def _sibling_merge_groups(model: QuantizedModel):
+    """Shared-input conv groups eligible for the merged-conv execution:
+    same src edge + identical geometry, all SiLU, all bf16_single_ok
+    (the merged conv runs the single-pass bf16 path). Returns
+    {first_member_name: [ConvNode, ...]} in graph order."""
+    by_sig: Dict = {}
+    for node in model.graph.nodes:
+        if not isinstance(node, ConvNode):
+            continue
+        cp = model.convs[node.name]
+        if not (node.silu and cp.bf16_single_ok
+                and (node.stride == 1 or AUTO_BF16_S2)):
+            continue
+        sig = (node.src, node.kernel, node.stride, node.padding)
+        by_sig.setdefault(sig, []).append(node)
+    return {g[0].name: g for g in by_sig.values() if len(g) > 1}
 
 
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
@@ -233,6 +280,45 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         """Per-channel (1,C,1,1) constant in the active layout."""
         return t.reshape(1, 1, 1, -1) if nhwc else t
 
+    def finish_conv(node, c, acc):
+        """Post-accumulator epilogue: SiLU requant chain (or raw
+        accumulator for plain head convs) + activation store. Shared by
+        the per-node path and the merged-sibling path — bit-exactness
+        across them depends on this staying the single implementation."""
+        if node.silu:
+            cp = model.convs[node.name]
+            # fastest proven-exact formulation per requant (flags
+            # checked against the true accumulator bound at plan
+            # time; all four produce identical bits — see
+            # ops/intmath.py, scripts/r4_epi2.log)
+            req1 = (requantize_i32_direct if cp.req1_direct_ok
+                    else requantize_i32_bigshift_folded if cp.fold1_ok
+                    else requantize_i32_bigshift if cp.bigshift_ok
+                    else requantize_i32)
+            req2 = (requantize_i32_bigshift_folded if cp.fold2_ok
+                    else requantize_i32_bigshift if cp.bigshift_ok
+                    else requantize_i32)
+            dom = req1(acc, cshape(c["r1"]), cshape(c["s1"]), qmax)
+            if keep_env:
+                env[f"{node.name}:sigdom"] = dom
+            # dom is clipped to +-qmax: mask-free LUT apply
+            sigma = plan["sig_lut"].apply_clipped(dom)
+            m = sigma * cshape(c["r2"])   # < 2^15, exact folding
+            out = req2(acc, m, cshape(c["s2"]), qmax)
+            if bf16_store:
+                env[node.dst] = out.astype(jnp.bfloat16)
+            elif use_s8:
+                env[node.dst] = out.astype(jnp.int8)
+            else:
+                env[node.dst] = out
+        else:
+            env[node.dst] = acc
+
+    merge_groups = (_sibling_merge_groups(model)
+                    if (AUTO_MERGE_SIBLINGS and engine == "auto"
+                        and not keep_env) else {})
+    merge_skip: set = set()
+
     env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
     slab_x = None
     if use_packed:
@@ -255,6 +341,24 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                     slab_x.run(ops)
                 continue
         if isinstance(node, ConvNode):
+            if node.name in merge_skip:
+                continue
+            group = merge_groups.get(node.name)
+            if group is not None:
+                cs = [plan["convs"][m.name] for m in group]
+                w_cat = jnp.concatenate([cc["w_i8"] for cc in cs], axis=0)
+                # conv2d_bf16_exact is bound above: merge_groups is only
+                # non-empty for engine == "auto", which implies use_s8
+                acc_m = conv2d_bf16_exact(env[node.src], w_cat,
+                                          node.stride, node.padding)
+                off = 0
+                for m, cc in zip(group, cs):
+                    acc = jax.lax.slice_in_dim(acc_m, off, off + m.cout,
+                                               axis=1) + cc["b"]
+                    finish_conv(m, cc, acc)
+                    off += m.cout
+                merge_skip.update(mm.name for mm in group[1:])
+                continue
             c = plan["convs"][node.name]
             if use_pallas:
                 hi, lo = conv2d_int_parts(env[node.src], c["w"],
@@ -337,34 +441,7 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             else:
                 acc = conv2d_int_exact(env[node.src], c["w"], node.stride,
                                        node.padding) + c["b"]
-            if node.silu:
-                cp = model.convs[node.name]
-                # fastest proven-exact formulation per requant (flags
-                # checked against the true accumulator bound at plan
-                # time; all four produce identical bits — see
-                # ops/intmath.py, scripts/r4_epi2.log)
-                req1 = (requantize_i32_direct if cp.req1_direct_ok
-                        else requantize_i32_bigshift_folded if cp.fold1_ok
-                        else requantize_i32_bigshift if cp.bigshift_ok
-                        else requantize_i32)
-                req2 = (requantize_i32_bigshift_folded if cp.fold2_ok
-                        else requantize_i32_bigshift if cp.bigshift_ok
-                        else requantize_i32)
-                dom = req1(acc, cshape(c["r1"]), cshape(c["s1"]), qmax)
-                if keep_env:
-                    env[f"{node.name}:sigdom"] = dom
-                # dom is clipped to +-qmax: mask-free LUT apply
-                sigma = plan["sig_lut"].apply_clipped(dom)
-                m = sigma * cshape(c["r2"])   # < 2^15, exact folding
-                out = req2(acc, m, cshape(c["s2"]), qmax)
-                if bf16_store:
-                    env[node.dst] = out.astype(jnp.bfloat16)
-                elif use_s8:
-                    env[node.dst] = out.astype(jnp.int8)
-                else:
-                    env[node.dst] = out
-            else:
-                env[node.dst] = acc
+            finish_conv(node, c, acc)
         elif isinstance(node, SplitNode):
             h = env[node.src].shape[cax] // 2
             if nhwc:

@@ -20,7 +20,7 @@ ITERS = 10
 
 
 def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
-         iters=ITERS):
+         iters=ITERS, input_dtype="f32"):
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
@@ -70,6 +70,13 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     step_inner = fn
     images = np.random.default_rng(0).uniform(
         0, 1, (batch, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    if input_dtype == "u8":
+        # serving-faithful ingest: raw uint8 pixels, normalized on device
+        # (quantize_input: u/255 in f32 is bit-identical to a float
+        # loader). The official number stays on the f32 contract for
+        # round-to-round comparability; --input u8 measures the u8 path.
+        images = np.round(images * 255.0).astype(np.uint8)
+        metric += "_u8"
     images = jax.device_put(images)
 
     # Two-point slope timing: the remote executor has a ~34ms fixed
@@ -108,6 +115,10 @@ if __name__ == "__main__":
     ap.add_argument("--engine", default="auto")
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--input", choices=["f32", "u8"], default="f32",
+                    help="image ingest dtype: f32 [0,1] tensors (the "
+                         "round-comparable default) or raw uint8 pixels "
+                         "normalized on device")
     a = ap.parse_args()
     main(model=a.model, k=a.k, image_size=a.image_size, engine=a.engine,
-         batch=a.batch, iters=a.iters)
+         batch=a.batch, iters=a.iters, input_dtype=a.input)

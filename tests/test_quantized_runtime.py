@@ -211,6 +211,55 @@ def test_quantize_input_per_image_flag():
     assert np.abs(pinned).max() < 127            # a=1 pinned
 
 
+def test_quantize_input_uint8_ingest_parity():
+    """uint8 pixels quantize bit-identically to the float-loader path
+    (x = u/255 in f32) — exhaustively over all 256 pixel values, for
+    every supported K and both output dtypes."""
+    u = jnp.arange(256, dtype=jnp.uint8).reshape(1, 1, 16, 16)
+    xf = jnp.asarray(np.arange(256, dtype=np.float32).reshape(
+        1, 1, 16, 16) / np.float32(255.0))
+    for k in (4, 6, 8):
+        for dt in (jnp.int8, jnp.bfloat16):
+            a = np.asarray(quantize_input(u, k, out_dtype=dt),
+                           np.float64)
+            b = np.asarray(quantize_input(xf, k, out_dtype=dt),
+                           np.float64)
+            assert (a == b).all(), (k, dt)
+
+
+def test_sibling_merge_engine_bit_exact():
+    """The merged-sibling auto path (head-stem conv pairs run as one
+    conv) must stay bit-identical to the unmerged auto engine and the
+    xla oracle engine."""
+    from alpha_yolo_quant_tpu.runtime import interpreter as I
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    plan = device_plan(model)
+    x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    xq_i = quantize_input(jnp.asarray(x), 8)
+    xq_b = quantize_input(jnp.asarray(x), 8, out_dtype=jnp.bfloat16)
+    groups = I._sibling_merge_groups(model)
+    assert groups, "head stem pairs should form merge groups"
+    for members in groups.values():
+        assert len(members) == 2
+        assert members[0].src == members[1].src
+    o_ref = int_forward(model, plan, xq_i, engine="xla")
+    o_plain = int_forward(model, plan, xq_b, engine="auto")
+    try:
+        # force the merged path (default off: see AUTO_MERGE_SIBLINGS —
+        # loses e2e on the current toolchain; exactness must hold anyway)
+        I.AUTO_MERGE_SIBLINGS = True
+        o_merged = int_forward(model, plan, xq_b, engine="auto")
+    finally:
+        I.AUTO_MERGE_SIBLINGS = False
+    for role in o_ref:
+        assert (np.asarray(o_ref[role])
+                == np.asarray(o_merged[role])).all(), role
+        assert (np.asarray(o_ref[role])
+                == np.asarray(o_plain[role])).all(), role
+
+
 def test_deferred_cls_sigmoid_equivalent():
     """The serving path defers the 16-bit sigmoid past NMS (monotone map);
     detections must match the eager path."""
