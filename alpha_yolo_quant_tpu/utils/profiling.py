@@ -53,7 +53,13 @@ def device_trace(log_dir: Optional[str]):
 
 
 def bench_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Time a jitted device function; returns ms per call."""
+    """Time a jitted device function; returns ms per call.
+
+    Coarse wall-clock/iters — fine on local backends. On remote
+    executors with a large fixed dispatch latency (e.g. the axon
+    tunnel's ~34 ms/call), use two-point slope timing with every output
+    leaf consumed through a loop carry instead (see bench.py and
+    scripts/_slope.py for the full trap list)."""
     import jax
 
     for _ in range(warmup):

@@ -60,11 +60,14 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
         def body(i, acc):
             det, n_det = step_inner(
                 images + jnp.isnan(acc).astype(images.dtype))
-            # the barrier keeps BOTH outputs fully live — consuming one
-            # element alone would let XLA DCE unconsumed siblings
-            # (scripts/_slope.py measurement trap #5)
+            # liveness comes from the CARRY consuming one element of
+            # BOTH outputs (trap #6b, scripts/_slope.py: a barrier does
+            # not keep computations whose own barrier result is unused);
+            # the barrier's job is blocking slicing/strength-reduction
+            # into the consumed elements
             det, n_det = jax.lax.optimization_barrier((det, n_det))
-            return acc + det[0, 0, 0]
+            return (acc + det[0, 0, 0]
+                    + n_det.reshape(-1)[0].astype(jnp.float32))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
     step_inner = fn

@@ -24,11 +24,22 @@ MEASUREMENT TRAP #5 (round 3, r3_nmsseam2.log): consuming only one
 element of one output leaf lets XLA DCE every UNCONSUMED SIBLING inside
 the jit — a prefix probe of quant+fwd+decode timed 28.9 ms while the
 same prefix under a consumer that reads everything costs 36.9 ms (five
-of the six head-conv chains and the class reduction were dead). Every
-fn output now passes through lax.optimization_barrier, which keeps all
-leaves live (a barrier with a used result keeps all operands) without
-the fusion distortion a checksum-sum would add; only one element is
-still fetched.
+of the six head-conv chains and the class reduction were dead).
+
+MEASUREMENT TRAPS #6/#6b (round 5, r5_dual.log / r5_overlap.log): the
+round-3 fix — passing outputs through lax.optimization_barrier and
+consuming one element of one leaf — is NOT sufficient: a barrier does
+not keep a computation alive when that computation's own barrier
+result is unused (a dependent second 4096^3 matmul timed 0.00 ms
+behind a barrier; two "independent B=128 pipelines" timed the same as
+one). And with the scalar carry threaded into only the first input
+leaf, work depending solely on other inputs is loop-invariant and
+hoists out of the fori_loop. Liveness therefore comes from the CARRY:
+one element of EVERY output leaf is summed into it (and carry_all=True
+threads the carry into every input leaf). The barrier remains to block
+slicing/strength-reduction into those consumed elements (r3_dots:
+consuming c[0,0] of a bare matmul otherwise reduces it to one dot
+row).
 """
 import time
 
@@ -38,7 +49,16 @@ import jax.numpy as jnp
 N_LO, N_HI = 10, 60
 
 
-def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
+def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2,
+               carry_all=False):
+    """carry_all: thread the scalar carry into EVERY input leaf, not
+    just the first. MEASUREMENT TRAP #6 (r5_dual.log): with the carry
+    on leaf 0 only, any computation depending solely on the OTHER
+    leaves is loop-invariant and XLA hoists it out of the fori_loop —
+    a probe of two independent B=128 pipelines timed the same 31.7 ms
+    as one pipeline because stream B ran ONCE outside the loop. Any
+    probe whose fn consumes independent inputs must pass
+    carry_all=True."""
     leaves0, treedef = jax.tree_util.tree_flatten(x0)
 
     @jax.jit
@@ -46,15 +66,26 @@ def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2):
         leaves, _ = jax.tree_util.tree_flatten(x)
 
         def body(i, s):
-            l0 = leaves[0]
-            lp = l0 + jnp.isnan(s).astype(l0.dtype)   # +0, s-dependent
-            out = fn(jax.tree_util.tree_unflatten(
-                treedef, [lp] + list(leaves[1:])))
-            # barrier: keep EVERY output leaf live (trap #5), then
-            # consume a single element
+            dep = jnp.isnan(s)
+            if carry_all:
+                lv = [l + dep.astype(l.dtype) for l in leaves]
+            else:
+                lv = [leaves[0] + dep.astype(leaves[0].dtype)] \
+                    + list(leaves[1:])
+            out = fn(jax.tree_util.tree_unflatten(treedef, lv))
+            # TRAP #6b (r5_overlap.log): optimization_barrier does NOT
+            # keep a computation alive when its own barrier result is
+            # unused — a dependent second 4096^3 matmul timed 0.00 ms
+            # behind a barrier. The barrier's remaining job is blocking
+            # slicing/strength-reduction INTO the consumed leaves
+            # (r3_dots: consuming c[0,0] of a bare matmul lets XLA
+            # reduce it to one dot row). Liveness itself must come from
+            # the carry: consume one element of EVERY output leaf.
             out = jax.lax.optimization_barrier(out)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return s + leaf.reshape(-1)[0].astype(jnp.float32)
+            tot = s
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + leaf.reshape(-1)[0].astype(jnp.float32)
+            return tot
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 

@@ -45,6 +45,12 @@ im_a = jax.device_put(rng.uniform(0, 1, (B, 3, 640, 640)).astype(
     np.float32))
 im_b = jax.device_put(rng.uniform(0, 1, (B, 3, 640, 640)).astype(
     np.float32))
+# distinct buffers for the quad legs: identical operands would let XLA
+# CSE whole streams (and trap #6 would hoist carry-free ones)
+im_c = jax.device_put(rng.uniform(0, 1, (B, 3, 640, 640)).astype(
+    np.float32))
+im_d = jax.device_put(rng.uniform(0, 1, (B, 3, 640, 640)).astype(
+    np.float32))
 
 dt1 = slope_time("single B=128", fn, im_a)
 
@@ -53,7 +59,7 @@ def dual(xs):
     return fn(xs[0]), fn(xs[1])
 
 
-dt2 = slope_time("dual 2x B=128", dual, (im_a, im_b))
+dt2 = slope_time("dual 2x B=128", dual, (im_a, im_b), carry_all=True)
 print(f"dual vs 2x single: {dt2*1000:.2f} vs {2*dt1*1000:.2f} ms "
       f"-> {256.0/dt2:.0f} img/s vs {128.0/dt1:.0f}", flush=True)
 
@@ -62,6 +68,6 @@ def quad(xs):
     return tuple(fn(x) for x in xs)
 
 
-dt4 = slope_time("quad 4x B=128", quad, (im_a, im_b, im_a, im_b))
+dt4 = slope_time("quad 4x B=128", quad, (im_a, im_b, im_c, im_d), carry_all=True)
 print(f"quad: {dt4*1000:.2f} ms -> {512.0/dt4:.0f} img/s", flush=True)
 print("done", flush=True)
