@@ -14,7 +14,7 @@ multiplication is associative and m < 2^15 (see ops/intmath.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 
 import jax
@@ -827,7 +827,8 @@ def eval_nms_params(model: QuantizedModel, conf_thres: float):
 
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
-                       engine: str = "xla", sparse_select: bool = False):
+                       engine: str = "xla", sparse_select: bool = False,
+                       pad_batch_to: Optional[int] = None):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
@@ -839,7 +840,14 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
     at B=128 on v5e (43.5 vs 41.9 ms, r3_confcid.log: the dense DFL
     fuses into surrounding passes while the sort->gather->DFL chain
     lengthens the critical path), so the dense path is the default.
-    """
+    pad_batch_to: serving knob — when the traced batch is SMALLER, pad
+    it with zero images to this width and slice every output back to
+    the real batch. The conv engines ride the batch dimension in the
+    128 vector lanes, and mid-range batches pick pathological fusions
+    (measured on v5e: B=64 native 38.7 ms vs 31.8 ms padded to 128 —
+    r5_b64.log/r5_bsweep.log; B<=32 runs faster natively, so callers
+    should pad only above that). Bit-exact for the real rows: every
+    per-image computation is batch-independent (tested)."""
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (
         NmsParams, non_max_suppression, q_nms_params,
@@ -885,10 +893,7 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                   and score_map is not None and nms_params.quantized
                   and nms_params.pre_topk and n_anchors < (1 << 14))
 
-    def fn(images):
-        x_q = quantize_input(images, k, out_dtype=q_dt)
-        outs = int_forward(model, plan, x_q, engine=engine,
-                           head_requant=full)
+    def _post(outs):
         if use_sparse:
             cand = decode_select_sparse(
                 model, plan, outs,
@@ -909,5 +914,24 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
             return non_max_suppression(preds, nms_params,
                                        score_map=score_map)
         return preds
+
+    def fn(images):
+        b = images.shape[0]
+        x_q = quantize_input(images, k, out_dtype=q_dt)
+        padded = pad_batch_to is not None and b < pad_batch_to
+        if padded:
+            # only the conv stack needs the lane-optimal width: quantize
+            # at the real batch, pad the (bf16/int8 — half the bytes)
+            # quantized tensor with zero images, slice the head edges
+            # back before decode/NMS. Zero rows cannot affect real rows
+            # (every per-image computation is batch-independent; tested).
+            zpad = jnp.zeros((pad_batch_to - b,) + x_q.shape[1:],
+                             x_q.dtype)
+            x_q = jnp.concatenate((x_q, zpad), 0)
+        outs = int_forward(model, plan, x_q, engine=engine,
+                           head_requant=full)
+        if padded:
+            outs = {name: t[:b] for name, t in outs.items()}
+        return _post(outs)
 
     return fn, plan

@@ -369,6 +369,28 @@ def test_sparse_select_decode_parity():
     assert int(np.asarray(n_s).sum()) > 0, "degenerate: no detections"
 
 
+def test_pipeline_pad_batch_to_bit_exact():
+    """pad_batch_to (the serving knob for lane-pathological mid-range
+    batches, interpreter.build_int_pipeline) pads with zero images and
+    slices back: the real rows must be bit-identical to the unpadded
+    pipeline, and the output batch must equal the input batch."""
+    cfg, graph, params, model = _setup(full_quant=True)
+    x = jnp.asarray(RNG.uniform(
+        0, 1, (3, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
+    fn, _ = build_int_pipeline(model)
+    fn_pad, _ = build_int_pipeline(model, pad_batch_to=8)
+    det, n = fn(x)
+    det_p, n_p = fn_pad(x)
+    assert det_p.shape[0] == 3 and n_p.shape[0] == 3
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n_p))
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det_p))
+    # batch >= pad_batch_to is a no-op path (same traced function)
+    fn_noop, _ = build_int_pipeline(model, pad_batch_to=2)
+    det_n, n_n = fn_noop(x)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det_n))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n_n))
+
+
 def test_pipeline_custom_qnms_params_threshold_domain():
     """build_int_pipeline with caller-supplied q_nms_params (conf_thres in
     the POST-sigmoid 16-bit int domain, e.g. the documented 8192) must
