@@ -75,7 +75,12 @@ def data_parallel_step(fn, mesh: Mesh, axis: str = "dp"):
     """Wrap a per-batch function as a batch-data-parallel SPMD step via
     shard_map: each device runs fn on its local batch shard; outputs stay
     batch-sharded. This sidesteps global-sharding propagation through
-    control flow (NMS while_loops) and is the serving-path pattern."""
+    control flow (NMS while_loops) and is the serving-path pattern.
+
+    fn sees the PER-DEVICE batch (global/n_devices). If that lands in
+    the mid-batch fusion-pathology zone (B in [33..95] on v5e — see
+    scripts/README.md round 5), build fn with
+    build_int_pipeline(pad_batch_to=128)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec
 
