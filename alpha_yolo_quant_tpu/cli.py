@@ -212,10 +212,12 @@ def cmd_eval_int8(args):
     graph, params = _graph_params(args, cfg)
     max_a = _load_max_a(args)
     model = build_quantized_model(graph, params, max_a, cfg)
-    # serving batch policy: mid-range batches run the conv stack at the
-    # lane-optimal width (B=48/64 natively pick pathological fusions —
-    # scripts/r5_pads.log; bit-exact, tested)
-    pad = 128 if 32 < args.batch_size < 128 else None
+    # serving batch policy: mid-range yolov8n batches run the conv stack
+    # at the lane-optimal width (B=48/64 natively pick pathological
+    # fusions — scripts/r5_pads.log; bit-exact, tested). yolov8s has no
+    # mid-batch pathology and padding hurts (scripts/r5_spad.log).
+    pad = 128 if (cfg.model == "yolov8n"
+                  and 32 < args.batch_size < 128) else None
     fn, _ = build_int_pipeline(
         model, dfl_w_float=params["dfl"]["w"],
         nms_params=eval_nms_params(model, args.conf_thres),

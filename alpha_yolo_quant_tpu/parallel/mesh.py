@@ -78,9 +78,9 @@ def data_parallel_step(fn, mesh: Mesh, axis: str = "dp"):
     control flow (NMS while_loops) and is the serving-path pattern.
 
     fn sees the PER-DEVICE batch (global/n_devices). If that lands in
-    the mid-batch fusion-pathology zone (B in [33..95] on v5e — see
-    scripts/README.md round 5), build fn with
-    build_int_pipeline(pad_batch_to=128)."""
+    the mid-batch fusion-pathology zone (yolov8n, B in [33..95] on v5e
+    — see scripts/README.md round 5; yolov8s has no such zone), build
+    fn with build_int_pipeline(pad_batch_to=128)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec
 

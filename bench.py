@@ -42,11 +42,13 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
         0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
     max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
     qmodel = build_quantized_model(graph, params, max_a, cfg)
-    # Serving batch policy: mid-range batches pad to the lane-optimal
-    # width (the conv engines ride batch in the 128 vector lanes; B=64
-    # native picks pathological fusions — 38.7 ms vs 31.8 ms padded,
-    # scripts/r5_b64.log). Throughput still counts only REAL images.
-    pad = 128 if 32 < batch < 128 else None
+    # Serving batch policy: mid-range yolov8n batches pad to the
+    # lane-optimal width (the conv engines ride batch in the 128 vector
+    # lanes; B=64 native picks pathological fusions — 38.7 ms vs
+    # 31.8 ms padded, scripts/r5_b64.log). Model-aware: yolov8s has no
+    # mid-batch pathology and padding HURTS there (68.9 vs 72.4 ms,
+    # scripts/r5_spad.log). Throughput still counts only REAL images.
+    pad = 128 if (model == "yolov8n" and 32 < batch < 128) else None
     fn, _ = build_int_pipeline(qmodel, engine=engine, pad_batch_to=pad)
 
     import jax.numpy as jnp
