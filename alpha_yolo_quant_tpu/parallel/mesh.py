@@ -88,6 +88,36 @@ def data_parallel_step(fn, mesh: Mesh, axis: str = "dp"):
     return jax.jit(shard_map(fn, mesh=mesh, in_specs=(p,), out_specs=p))
 
 
+def spatial_parallel_fn(fn, mesh: Mesh, axis: str = "sp"):
+    """Latency-mode sharding: partition the image HEIGHT across the mesh
+    and let GSPMD insert the conv halo exchanges over ICI.
+
+    The complement of ``data_parallel_step``: dp scales throughput with
+    batch, sp divides the single-image wall clock when the batch is too
+    small to fill the mesh (the serve-latency regime, B<=8 — the conv
+    engines ride batch in the 128 vector lanes, so a lone image leaves
+    most of the chip idle; scripts/README.md round-5 batch sweep).
+    Numerics are unchanged: height partitioning splits no reduction —
+    each device computes its output rows from its rows plus a halo of
+    the neighbor's, so results are bitwise identical to the jitted
+    unsharded run (tested; comparing against an EAGER run instead shows
+    last-ulp diffs in the float box decode from jit FMA contraction).
+
+    Constraint on this toolchain: the shard count must divide the
+    deepest feature-map height, i.e. ``image_size/32`` (640 -> sp in
+    {2, 4}; 20 rows). Uneven shards make XLA's SPMD partitioner emit a
+    type-mismatched halo-padding constant for non-f32 convs and crash
+    in the HLO verifier (probed: scripts/_sp_probe.py).
+
+    Build ``fn`` with ``with_nms=False`` (head edges / preds): the NMS
+    scan is sequential bookkeeping over (B, anchors) rows and belongs on
+    one device — GSPMD propagation through it adds no parallelism, only
+    reshards. Run NMS on the gathered preds afterwards.
+    """
+    spec = NamedSharding(mesh, P(None, None, axis, None))
+    return jax.jit(fn, in_shardings=(spec,))
+
+
 def sharded_forward_fn(graph, mesh: Mesh, decode: bool = True,
                        collect_taps: bool = False, axis: str = "dp"):
     """Build a jitted batch-data-parallel forward (+decode) step.

@@ -102,6 +102,36 @@ def test_shard_map_serving_step_matches_local():
                                rtol=1e-6)
 
 
+def test_sp_height_sharding_matches_local():
+    """Latency-mode spatial partitioning (SURVEY §2.9 sharding seams):
+    the full-quant pipeline's preds with the input HEIGHT sharded over a
+    2-device 'sp' mesh must be bitwise identical to the jitted unsharded
+    run — height partitioning splits no reduction (GSPMD exchanges
+    conv/pool halos between neighbors). sp=2 is the even-divisibility
+    maximum at 64px (deepest map H = 64/32 = 2 rows; uneven shards hit
+    an XLA partitioner halo-padding bug — see spatial_parallel_fn)."""
+    from alpha_yolo_quant_tpu.parallel.mesh import spatial_parallel_fn
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_stats, reduce_stats,
+    )
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg, graph, params = _setup()
+    calib = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+                               with_nms=False)
+
+    mesh = make_mesh(2, axis="sp")
+    sp_fn = spatial_parallel_fn(fn, mesh)
+    imgs = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    got = np.asarray(sp_fn(imgs))
+    want = np.asarray(jax.jit(fn)(imgs))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_two_process_distributed_parity():
     """Multi-host for real (SURVEY §2.9): two OS processes x 4 virtual CPU
     devices each, joined by jax.distributed over a localhost coordinator
