@@ -112,10 +112,14 @@ def spatial_parallel_fn(fn, mesh: Mesh, axis: str = "sp"):
     Build ``fn`` with ``with_nms=False`` (head edges / preds): the NMS
     scan is sequential bookkeeping over (B, anchors) rows and belongs on
     one device — GSPMD propagation through it adds no parallelism, only
-    reshards. Run NMS on the gathered preds afterwards.
+    reshards. Run NMS on the gathered preds afterwards: the output is
+    pinned replicated (out_shardings=P()) so the gather happens at this
+    jit seam, not silently on whatever sharding GSPMD would pick for
+    downstream consumers (ADVICE r3).
     """
     spec = NamedSharding(mesh, P(None, None, axis, None))
-    return jax.jit(fn, in_shardings=(spec,))
+    return jax.jit(fn, in_shardings=(spec,),
+                   out_shardings=NamedSharding(mesh, P()))
 
 
 def sharded_forward_fn(graph, mesh: Mesh, decode: bool = True,

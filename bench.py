@@ -99,18 +99,28 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     float(chained(images, jnp.int32(WARMUP)))   # compile + warm
     n_hi = 3 * iters
     # Noise is additive (scheduler jitter, tunnel hiccups only ever ADD
-    # wall time to a fixed computation), so take the min slope over a few
-    # repetitions — the run-to-run spread of a single pair was ~2.3%
+    # wall time to a fixed computation), so take the min PER LEG across
+    # repetitions and difference the two minima. Taking the min over
+    # per-rep slopes instead is biased optimistic: noise on a rep's
+    # SHORT leg lowers that rep's slope, so min-across-slopes
+    # systematically selects noisy-short-leg reps and inflates img/s
+    # (ADVICE r3). min applies to raw times only, where the additive
+    # argument actually holds. Run-to-run spread of a pair was ~2.3%
     # (scripts/README.md round 5: 4,022-4,116 img/s).
-    dt = float("inf")
+    t_lo_min, t_hi_min = float("inf"), float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         float(chained(images, jnp.int32(iters)))  # fetch forces completion
-        t_lo = time.perf_counter() - t0
+        t_lo_min = min(t_lo_min, time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(chained(images, jnp.int32(n_hi)))
-        t_hi = time.perf_counter() - t0
-        dt = min(dt, (t_hi - t_lo) / (n_hi - iters))
+        t_hi_min = min(t_hi_min, time.perf_counter() - t0)
+    dt = (t_hi_min - t_lo_min) / (n_hi - iters)
+    if dt <= 0:
+        raise RuntimeError(
+            f"non-positive slope (t_lo={t_lo_min:.4f}s, "
+            f"t_hi={t_hi_min:.4f}s): measurement is noise-dominated; "
+            "re-run with --iters higher")
 
     img_s = batch / dt
     print(json.dumps({

@@ -6,8 +6,12 @@ env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
+# append (not setdefault): a pre-set XLA_FLAGS would otherwise silently
+# drop the device-count flag and make_mesh(4) fails single-device
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, "/root/repo")
 
