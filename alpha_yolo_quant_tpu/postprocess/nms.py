@@ -47,14 +47,19 @@ class NmsParams:
     box_scale: float = 1.0       # divide boxes by this at the end
     score_scale: float = 1.0     # divide scores by this at the end
     plus_one: float = 1.0
+    # Candidate-selection flavor A/B switches (all bit-identical keep
+    # sets — tested; the default co-sort wins e2e, r3_sparse2/r5 select
+    # logs). None = inherit the deprecated module globals below, so two
+    # pipelines in one process can hold different flavors without
+    # mutating process state.
+    select_gather: bool = None           # type: ignore[assignment]
+    select_topk_merge: bool = None       # type: ignore[assignment]
 
 
-# Candidate selection flavor: single-key sort + top-k gathers instead of
-# the 6-operand co-sort (see _select_candidates). A/B-able by probes.
+# Deprecated process-wide defaults for the selection flavors — kept so
+# old probes still run; new code should set NmsParams.select_gather /
+# .select_topk_merge per pipeline instead.
 SELECT_GATHER = False
-
-# Candidate selection flavor: segment-sort + bitonic top-k merge instead
-# of one full-width sort (see _select_topk_merge). A/B-able by probes.
 SELECT_TOPK_MERGE = False
 
 
@@ -359,7 +364,8 @@ def _greedy_nms_mask(boxes, scores, valid, iou_thres, max_det, plus_one,
 
 
 def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
-                       int_scores=False):
+                       int_scores=False, select_gather=None,
+                       select_topk_merge=None):
     """pred: (84, N) plane, or a pre-reduced (boxes_xywh (4,N), conf (N,),
     cls (N,)) tuple (decode_full_quant(reduce_cls=True) serving path) ->
     fixed-size top-k candidate set, score-sorted.
@@ -374,7 +380,11 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         cls = jnp.argmax(cls_scores, axis=0).astype(jnp.float32)
     n = conf.shape[0]
     m = min(pre_topk or max_nms, max_nms, n)
-    if int_scores and n <= (1 << 14) and SELECT_TOPK_MERGE:
+    if select_gather is None:
+        select_gather = SELECT_GATHER
+    if select_topk_merge is None:
+        select_topk_merge = SELECT_TOPK_MERGE
+    if int_scores and n <= (1 << 14) and select_topk_merge:
         key = conf_sort_key(conf, n)
         m_keep = 1 << (max(m, 2) - 1).bit_length()
         kk, vv = _select_topk_merge(
@@ -384,7 +394,7 @@ def _select_candidates(pred, max_nms, conf_thres, pre_topk=None,
         conf_s = conf_from_key(skey).astype(conf.dtype)
         boxes_s = jnp.stack([v[:m] for v in vv[:4]], 1)
         return boxes_s, conf_s, vv[4][:m], conf_s > conf_thres
-    if int_scores and n <= (1 << 14) and SELECT_GATHER:
+    if int_scores and n <= (1 << 14) and select_gather:
         # single-key sort + top-k gathers: sort ONLY the packed int key
         # (same order as the co-sort below) and gather the box columns /
         # class ids at the kept m indices. The 6-operand co-sort moves
@@ -460,7 +470,8 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
         else:
             boxes, conf, cls, valid = _select_candidates(
                 pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk,
-                int_scores=p.quantized)
+                int_scores=p.quantized, select_gather=p.select_gather,
+                select_topk_merge=p.select_topk_merge)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
         # _select_candidates returns descending-score candidates with the

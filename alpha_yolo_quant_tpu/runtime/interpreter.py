@@ -187,18 +187,59 @@ AUTO_S2D = False
 AUTO_MERGE_SIBLINGS = False
 
 
-def _sibling_merge_groups(model: QuantizedModel):
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    """Per-pipeline engine A/B options.
+
+    Each tri-state field defaults to ``None`` = inherit the deprecated
+    module-level global of the same spelling (AUTO_BF16_S2 / AUTO_S2D /
+    AUTO_MERGE_SIBLINGS), which preserves old probes; passing an explicit
+    bool scopes the choice to ONE pipeline, so two pipelines with
+    different flavors coexist in a process without mutating module state
+    (all flavors are bit-identical — tested).
+
+    per_image_amax: quantize the input with a per-image amax instead of
+    the calibrated a=1 pin — the stage-8 deployed-runtime quirk
+    (reference stage_8_torch.py:510, quant_matrix start=False): the
+    runtime re-derives the input scale per image but keeps the rescale
+    coefficients computed from the CALIBRATION scale. Needed for
+    detection-level parity with the reference's stage_8/8b torch
+    runtimes; off for the stage-6/golden contract.
+    """
+
+    bf16_s2: bool = None             # type: ignore[assignment]
+    s2d: bool = None                 # type: ignore[assignment]
+    merge_siblings: bool = None      # type: ignore[assignment]
+    per_image_amax: bool = False
+
+    @property
+    def bf16_s2_(self) -> bool:
+        return AUTO_BF16_S2 if self.bf16_s2 is None else self.bf16_s2
+
+    @property
+    def s2d_(self) -> bool:
+        return AUTO_S2D if self.s2d is None else self.s2d
+
+    @property
+    def merge_siblings_(self) -> bool:
+        return (AUTO_MERGE_SIBLINGS if self.merge_siblings is None
+                else self.merge_siblings)
+
+
+def _sibling_merge_groups(model: QuantizedModel, bf16_s2: bool = None):
     """Shared-input conv groups eligible for the merged-conv execution:
     same src edge + identical geometry, all SiLU, all bf16_single_ok
     (the merged conv runs the single-pass bf16 path). Returns
     {first_member_name: [ConvNode, ...]} in graph order."""
+    if bf16_s2 is None:
+        bf16_s2 = AUTO_BF16_S2
     by_sig: Dict = {}
     for node in model.graph.nodes:
         if not isinstance(node, ConvNode):
             continue
         cp = model.convs[node.name]
         if not (node.silu and cp.bf16_single_ok
-                and (node.stride == 1 or AUTO_BF16_S2)):
+                and (node.stride == 1 or bf16_s2)):
             continue
         sig = (node.src, node.kernel, node.stride, node.padding)
         by_sig.setdefault(sig, []).append(node)
@@ -208,7 +249,8 @@ def _sibling_merge_groups(model: QuantizedModel):
 def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla",
-                head_requant: bool = False) -> Dict[str, jnp.ndarray]:
+                head_requant: bool = False,
+                options: "EngineOptions" = None) -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
     NCHW accumulators for the six head convs) plus, with keep_env, every
     edge and the pre-SiLU requantized accumulators under
@@ -235,7 +277,12 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     forward->decode seam then moves ~1/3 of the int32 accumulator bytes
     (r3_seams.log attributed ~3.2 ms to that boundary at B=128).
 
-    All engines produce bit-identical results (tested)."""
+    All engines produce bit-identical results (tested).
+
+    options: per-pipeline EngineOptions; None inherits the deprecated
+    module globals (see EngineOptions)."""
+    if options is None:
+        options = EngineOptions()
     cfg = model.cfg
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
@@ -314,8 +361,8 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         else:
             env[node.dst] = acc
 
-    merge_groups = (_sibling_merge_groups(model)
-                    if (AUTO_MERGE_SIBLINGS and engine == "auto"
+    merge_groups = (_sibling_merge_groups(model, options.bf16_s2_)
+                    if (options.merge_siblings_ and engine == "auto"
                         and not keep_env) else {})
     merge_skip: set = set()
 
@@ -407,13 +454,13 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 prefer_bf16 = (auto_flavor
                                and model.convs[node.name].bf16_single_ok
                                and (node.kernel == 1 or node.stride == 1
-                                    or AUTO_BF16_S2))
+                                    or options.bf16_s2_))
                 if prefer_bf16:
                     x_in = env[node.src]
                     w_s2d = c.get("w_s2d_i8")
                     pre_s2d = (w_s2d is not None
                                and x_in.shape[1] == w_s2d.shape[1])
-                    if pre_s2d or (AUTO_S2D and w_s2d is not None
+                    if pre_s2d or (options.s2d_ and w_s2d is not None
                                    and x_in.shape[2] % 2 == 0
                                    and x_in.shape[3] % 2 == 0):
                         from alpha_yolo_quant_tpu.ops.nn import (
@@ -828,7 +875,8 @@ def eval_nms_params(model: QuantizedModel, conf_thres: float):
 def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
                        engine: str = "xla", sparse_select: bool = False,
-                       pad_batch_to: Optional[int] = None):
+                       pad_batch_to: Optional[int] = None,
+                       options: "EngineOptions" = None):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
@@ -847,12 +895,17 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
     (measured on v5e: B=64 native 38.7 ms vs 31.8 ms padded to 128 —
     r5_b64.log/r5_bsweep.log; B<=32 runs faster natively, so callers
     should pad only above that). Bit-exact for the real rows: every
-    per-image computation is batch-independent (tested)."""
+    per-image computation is batch-independent (tested).
+    options: per-pipeline EngineOptions (engine flavor A/B switches plus
+    the stage-8 per_image_amax input-quant quirk); None inherits the
+    deprecated module globals."""
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (
         NmsParams, non_max_suppression, q_nms_params,
     )
 
+    if options is None:
+        options = EngineOptions()
     plan = device_plan(model, pallas=engine in ("pallas", "fused",
                                                 "packed"))
     k = model.cfg.k
@@ -917,7 +970,8 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
 
     def fn(images):
         b = images.shape[0]
-        x_q = quantize_input(images, k, out_dtype=q_dt)
+        x_q = quantize_input(images, k, out_dtype=q_dt,
+                             per_image_amax=options.per_image_amax)
         padded = pad_batch_to is not None and b < pad_batch_to
         if padded:
             # only the conv stack needs the lane-optimal width: quantize
@@ -929,7 +983,7 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                              x_q.dtype)
             x_q = jnp.concatenate((x_q, zpad), 0)
         outs = int_forward(model, plan, x_q, engine=engine,
-                           head_requant=full)
+                           head_requant=full, options=options)
         if padded:
             outs = {name: t[:b] for name, t in outs.items()}
         return _post(outs)

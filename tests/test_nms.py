@@ -250,18 +250,15 @@ def test_int_key_candidate_sort_matches_argsort():
                                  int_scores=False)
         got = _select_candidates(pred, 30000, jnp.float32(thres), 1000,
                                  int_scores=True)
-        try:
-            nms_mod.SELECT_GATHER = True
-            got_g = _select_candidates(pred, 30000, jnp.float32(thres),
-                                       1000, int_scores=True)
-        finally:
-            nms_mod.SELECT_GATHER = False
-        try:
-            nms_mod.SELECT_TOPK_MERGE = True
-            got_m = _select_candidates(pred, 30000, jnp.float32(thres),
-                                       1000, int_scores=True)
-        finally:
-            nms_mod.SELECT_TOPK_MERGE = False
+        # per-call flavor selection (no module-global mutation)
+        got_g = _select_candidates(pred, 30000, jnp.float32(thres),
+                                   1000, int_scores=True,
+                                   select_gather=True)
+        got_m = _select_candidates(pred, 30000, jnp.float32(thres),
+                                   1000, int_scores=True,
+                                   select_topk_merge=True)
+        assert nms_mod.SELECT_GATHER is False  # globals untouched
+        assert nms_mod.SELECT_TOPK_MERGE is False
         n_valid = int(np.asarray(ref[3]).sum())
         for variant, sel in (("co-sort", got), ("key+gather", got_g),
                              ("topk-merge", got_m)):

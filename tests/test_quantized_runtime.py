@@ -246,18 +246,66 @@ def test_sibling_merge_engine_bit_exact():
         assert members[0].src == members[1].src
     o_ref = int_forward(model, plan, xq_i, engine="xla")
     o_plain = int_forward(model, plan, xq_b, engine="auto")
-    try:
-        # force the merged path (default off: see AUTO_MERGE_SIBLINGS —
-        # loses e2e on the current toolchain; exactness must hold anyway)
-        I.AUTO_MERGE_SIBLINGS = True
-        o_merged = int_forward(model, plan, xq_b, engine="auto")
-    finally:
-        I.AUTO_MERGE_SIBLINGS = False
+    # per-pipeline opt-in (default off: merging loses e2e on the current
+    # toolchain; exactness must hold anyway) — no module-global mutation
+    o_merged = int_forward(model, plan, xq_b, engine="auto",
+                           options=I.EngineOptions(merge_siblings=True))
     for role in o_ref:
         assert (np.asarray(o_ref[role])
                 == np.asarray(o_merged[role])).all(), role
         assert (np.asarray(o_ref[role])
                 == np.asarray(o_plain[role])).all(), role
+
+
+def test_engine_options_coexist_per_pipeline():
+    """Two pipelines with DIFFERENT EngineOptions must coexist in one
+    process (no module-global mutation): one with the merged-sibling auto
+    flavor, one without, both bit-identical detections; and the module
+    globals stay at their defaults throughout."""
+    from alpha_yolo_quant_tpu.runtime import interpreter as I
+
+    cfg, graph, params, model = _setup(full_quant=True)
+    fn_plain, _ = build_int_pipeline(model, engine="auto",
+                                     options=I.EngineOptions())
+    fn_merged, _ = build_int_pipeline(
+        model, engine="auto",
+        options=I.EngineOptions(merge_siblings=True))
+    assert I.AUTO_MERGE_SIBLINGS is False
+    x = RNG.uniform(0, 1, (2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32)
+    # interleave calls: options must be captured per closure, not read
+    # from process state at call time
+    det_a, n_a = fn_plain(jnp.asarray(x))
+    det_b, n_b = fn_merged(jnp.asarray(x))
+    det_a2, n_a2 = fn_plain(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+    np.testing.assert_array_equal(np.asarray(det_a), np.asarray(det_b))
+    np.testing.assert_array_equal(np.asarray(det_a), np.asarray(det_a2))
+    assert I.AUTO_MERGE_SIBLINGS is False
+
+
+def test_per_image_amax_input_quant():
+    """EngineOptions(per_image_amax=True) reproduces the stage-8 input
+    re-quantization quirk (reference stage_8_torch.py:510,
+    utils/quant_matrix_torch.py:57-70 start=False): clip to the
+    PER-IMAGE amax, scale by (2^(k-1)-1)/amax, round — vs the default
+    a=1 pin. Checked against a direct numpy transcription of the
+    reference loop."""
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 0.7, (3, 3, 16, 16)).astype(np.float32)
+    x[1] *= 2.1  # exercise amax > 1 (clip actually binds)
+    for k in (8, 6, 4):
+        got = np.asarray(quantize_input(jnp.asarray(x), k,
+                                        per_image_amax=True),
+                         np.float64)
+        qmax = 2 ** (k - 1) - 1
+        want = np.empty_like(x, np.float64)
+        for b in range(x.shape[0]):
+            a = np.abs(x[b]).max()
+            s = qmax / a
+            want[b] = np.round(np.clip(x[b], -a, a).astype(np.float32)
+                               * np.float32(s))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
 
 
 def test_deferred_cls_sigmoid_equivalent():
