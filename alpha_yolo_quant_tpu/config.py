@@ -43,6 +43,21 @@ class QuantConfig:
         domain (reference stage_8_torch_full_quant.py:434-436,
         `create_sigmoid_lookup_table(12, 16)`).
       image_size: square inference resolution.
+      stage8_concat_flow: full-quant only. The reference CONTRADICTS
+        ITSELF at the two PAN-down concat seams: its 6b export pipeline
+        requantizes the FRESH side into the skip's scale and hands the
+        stale scale downstream (stage_6_full_quant.py:529/566 — the
+        declared_scale_from quirk; its rescale constants then assume a
+        scale the data is NOT in), while its DEPLOYED full-quant runtime
+        requantizes the SKIP side into the fresh conv's scale
+        (stage_8_torch_full_quant.py:975/1012 — the partial-pipeline
+        direction, arithmetically consistent with the stored
+        bias_scales). Default False = 6b semantics (what the hardware
+        artifacts and byte gates encode); True = the deployed stage-8b
+        runtime's flow (detection-level parity,
+        tests/test_stage8_parity.py). Weight/bias/acc-scale artifacts
+        are identical under both flows — only the concat requant
+        direction differs.
     """
 
     model: str = "yolov8n"
@@ -56,6 +71,7 @@ class QuantConfig:
     cls_sigmoid_max: float = 12.0
     cls_sigmoid_bits: int = 16
     image_size: int = 640
+    stage8_concat_flow: bool = False
 
     def __post_init__(self):
         if self.model not in _MODEL_SCALES:

@@ -74,14 +74,28 @@ def load_scales(out_dir: str) -> Dict[str, np.ndarray]:
 
 def packed_state_dict(model: QuantizedModel, params: Dict) -> OrderedDict:
     """The QUANT_WEIGHTS_{K} state dict: every conv's int weights/biases as
-    float32 arrays under the reference's state-dict keys, dfl float
-    (reference stage_7.py:755-780 + stage_8 loads it into nn.Module)."""
+    float32 arrays under the reference's state-dict keys (reference
+    stage_7.py:755-780 loads mtime-sorted weights_pickle files into the
+    nn.Module state dict).
+
+    dfl.weight follows what stage_7 actually packs: on a PARTIAL tree the
+    mtime-last pickle is the float dfl (stage_6.py:618 dfl.pickle), on a
+    FULL-quant tree it is the QUANTIZED dfl_conv.pickle
+    (stage_6_full_quant.py:755 + utils/save_weights.py write order), so
+    the 8b deployed runtime runs the packed ints with the scale read from
+    bias_scales/dfl_scale.pickle (stage_8_torch_full_quant.py:1232-1233).
+    Byte-gated against a real stage_7 execution in
+    tests/test_stage8_parity.py."""
     sd: "OrderedDict[str, np.ndarray]" = OrderedDict()
     for node in model.graph.convs():
         c = model.convs[node.name]
         sd[f"{node.key}.weight"] = np.float32(c.w_q)
         sd[f"{node.key}.bias"] = np.float32(c.b_q)
-    sd["dfl.weight"] = np.asarray(params["dfl"]["w"], np.float32)
+    if model.cfg.full_quant and model.head is not None:
+        sd["dfl.weight"] = np.float32(model.head.dfl_w_q).reshape(
+            1, 16, 1, 1)
+    else:
+        sd["dfl.weight"] = np.asarray(params["dfl"]["w"], np.float32)
     return sd
 
 

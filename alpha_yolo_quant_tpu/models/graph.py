@@ -289,14 +289,17 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
     # (reference stage_6.py vs stage_6_full_quant.py CONCAT_3X4): partial
     # requantizes the skip into the fresh conv's scale; full-quant the
     # opposite. Concat ORDER is identical.
-    sf_3x4 = "c2f12" if cfg.full_quant else "p3d"
+    # stage8_concat_flow: the deployed full-quant runtime uses the
+    # PARTIAL direction at both PAN-down seams (see QuantConfig)
+    quirk_6b = cfg.full_quant and not cfg.stage8_concat_flow
+    sf_3x4 = "c2f12" if quirk_6b else "p3d"
     nodes.append(ConcatNode(
         ("p3d", "c2f12"), scale_from=sf_3x4, dst="cat_3x4",
         label="CONCAT_3X4",
         # full-quant stale-scale quirk: data lands in c2f12's scale but
         # C2F_18_conv_0 consumes it at the fresh conv's scale
         # (stage_6_full_quant.py:530-541)
-        declared_scale_from="p3d" if cfg.full_quant else None))
+        declared_scale_from="p3d" if quirk_6b else None))
     c2f("C2F_18", [9], "cat_3x4", "c2f18", c3 + c4, c4, c4,
         dict(conv0_key_i=12, conv1_key_i=13, own="cf2_conv_12",
              b=["cf2_bottle_9", "cf2_bottle_90"], last="cf2_conv_13",
@@ -304,11 +307,11 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
         shortcut=False, label_prefix="C2F_18")
     conv("Conv_19", "conv9.0", "c2f18", "p4d", c4, c4, 3, 2, 1, True,
          "conv9", "cf2_conv_14")
-    sf_sppf = "sppf" if cfg.full_quant else "p4d"
+    sf_sppf = "sppf" if quirk_6b else "p4d"
     nodes.append(ConcatNode(
         ("p4d", "sppf"), scale_from=sf_sppf, dst="cat_sppfx3",
         label="CONCAT_SPPFx3",
-        declared_scale_from="p4d" if cfg.full_quant else None))
+        declared_scale_from="p4d" if quirk_6b else None))
     c2f("C2F_21", [10], "cat_sppfx3", "c2f21", c4 + c5, c5, c5,
         dict(conv0_key_i=14, conv1_key_i=15, own="cf2_conv_14",
              b=["cf2_bottle_10", "cf2_bottle_101"], last="cf2_conv_15",

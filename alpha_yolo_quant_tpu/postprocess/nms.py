@@ -47,6 +47,14 @@ class NmsParams:
     box_scale: float = 1.0       # divide boxes by this at the end
     score_scale: float = 1.0     # divide scores by this at the end
     plus_one: float = 1.0
+    # DEPLOYED-runtime quirk (off by default): the reference's torch
+    # q_NMS truncates xyxy candidate boxes toward zero before NMS
+    # (stage_8_torch_full_quant.py:316 `.to(torch.int)`), while its own
+    # numpy twin does NOT (utils/bbox_cls_functions.py:209) — a
+    # reference-internal divergence. Our serving default follows the
+    # numpy twin; opt in for stage-8b detection-level parity
+    # (tests/test_stage8_parity.py).
+    trunc_boxes: bool = False
     # Candidate-selection flavor A/B switches (all bit-identical keep
     # sets — tested; the default co-sort wins e2e, r3_sparse2/r5 select
     # logs). None = inherit the deprecated module globals below, so two
@@ -472,6 +480,8 @@ def non_max_suppression(preds, params: NmsParams = NmsParams(),
                 pred, p.max_nms, jnp.float32(p.conf_thres), p.pre_topk,
                 int_scores=p.quantized, select_gather=p.select_gather,
                 select_topk_merge=p.select_topk_merge)
+        if p.trunc_boxes:
+            boxes = jnp.trunc(boxes)
         offset = cls * (0.0 if p.agnostic else p.max_wh)
         shifted = boxes + offset[:, None]
         # _select_candidates returns descending-score candidates with the

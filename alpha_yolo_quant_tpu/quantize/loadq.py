@@ -43,8 +43,17 @@ def model_from_artifacts(out_dir: str, cfg: QuantConfig,
              if os.path.exists(dfl_path)
              else np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1))
     params = {"dfl": {"w": dfl_w}}
+    dfl_override = None
+    dfl_q_path = os.path.join(wp, "dfl_conv.pickle")
+    if cfg.full_quant and os.path.exists(dfl_q_path) and "dfl" in scales:
+        # full-quant trees store the quantized dfl + its scale; rebuild
+        # from the stored values rather than re-quantizing (see
+        # build_quantized_model dfl_override)
+        dfl_override = (np.int64(load_gz_pickle(dfl_q_path)),
+                        float(np.asarray(scales["dfl"]).reshape(-1)[0]))
     return build_quantized_model(graph, params, max_a, cfg,
-                                 weights_override=override)
+                                 weights_override=override,
+                                 dfl_override=dfl_override)
 
 
 def dfl_weights_from_artifacts(out_dir: str) -> np.ndarray:
@@ -72,5 +81,13 @@ def model_from_packed_state_dict(out_dir: str, cfg: QuantConfig,
                                np.int64(sd[f"{node.key}.bias"]),
                                scales[node.name])
     params = {"dfl": {"w": np.asarray(sd["dfl.weight"])}}   # dtype-native
+    dfl_override = None
+    if cfg.full_quant:
+        # full-quant packed dicts carry the QUANTIZED dfl (see
+        # export.pickles.packed_state_dict); its scale lives in
+        # bias_scales/dfl_scale.pickle (stage_8_torch_full_quant.py:1233)
+        dfl_override = (np.int64(sd["dfl.weight"]),
+                        float(np.asarray(scales["dfl"]).reshape(-1)[0]))
     return build_quantized_model(graph, params, max_a, cfg,
-                                 weights_override=override)
+                                 weights_override=override,
+                                 dfl_override=dfl_override)

@@ -172,7 +172,8 @@ def build_quantized_model(graph: Graph, params: Dict,
                           max_a: Dict[str, float],
                           cfg: Optional[QuantConfig] = None,
                           bias_warn=None,
-                          weights_override: Optional[Dict] = None
+                          weights_override: Optional[Dict] = None,
+                          dfl_override=None
                           ) -> QuantizedModel:
     """Derive every integer constant of the quantized network.
 
@@ -181,6 +182,13 @@ def build_quantized_model(graph: Graph, params: Dict,
     from STORED integer artifacts (the stage-8 load path) — every requant
     constant derives from acc_scale + max_a, so the loaded plan is
     bit-identical to the built one.
+    dfl_override: (dfl_w_q ints, dfl_acc_scale float) for the full-quant
+    head when rebuilding from stored artifacts: the reference's packed
+    state dict carries the QUANTIZED dfl weights (stage_7.py:762-780 maps
+    the mtime-last dfl_conv.pickle onto 'dfl.weight') and its deployed
+    runtime reads the scale from bias_scales/dfl_scale.pickle
+    (stage_8_torch_full_quant.py:1233), so the float dfl is not
+    recoverable — the plan must take both stored values as-is.
     """
     cfg = cfg or graph.cfg
     k = cfg.k
@@ -327,7 +335,8 @@ def build_quantized_model(graph: Graph, params: Dict,
                            edge_scale=edge_scale, edge_amax_int=edge_amax,
                            sig_lut=sig, clip_after_residual=clip_after)
     if cfg.full_quant:
-        model.head = _build_head_plan(graph, params, convs, cfg)
+        model.head = _build_head_plan(graph, params, convs, cfg,
+                                      dfl_override=dfl_override)
     return model
 
 
@@ -338,7 +347,7 @@ def _anchor_max(image_size: int) -> float:
 
 
 def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
-                     cfg: QuantConfig) -> HeadPlan:
+                     cfg: QuantConfig, dfl_override=None) -> HeadPlan:
     # The reference full-quant head is pinned to 8-bit box / 16-bit cls math
     # regardless of the backbone K (stage_6_full_quant: requant_last_layers
     # (..., 8), create_exponent_lookup_table(14.826..., 8), softmax * 127,
@@ -369,9 +378,15 @@ def _build_head_plan(graph: Graph, params: Dict, convs: Dict[str, ConvPlan],
     exp = exponent_lut(cfg.dfl_max, 8)
     cls_sig = sigmoid_lut(cfg.cls_sigmoid_max, cfg.cls_sigmoid_bits)
 
-    dfl_w = np.asarray(params["dfl"]["w"])   # dtype-native (reference
-    dfl_w_q, dfl_w_scales = quant_matrix(dfl_w, cfg.k)   # dfl_quant:129-131)
-    dfl_acc_scale = float(127.0 * dfl_w_scales[0, 0])  # softmax scale is 127
+    if dfl_override is not None:
+        # stored-artifact rebuild: ints + scale as-is (see
+        # build_quantized_model docstring)
+        dfl_w_q = np.int64(dfl_override[0]).reshape(1, 16, 1, 1)
+        dfl_acc_scale = float(dfl_override[1])
+    else:
+        dfl_w = np.asarray(params["dfl"]["w"])   # dtype-native (reference
+        dfl_w_q, dfl_w_scales = quant_matrix(dfl_w, cfg.k)  # dfl_quant:129)
+        dfl_acc_scale = float(127.0 * dfl_w_scales[0, 0])  # softmax scl 127
     anchor_scale = scale_for(_anchor_max(cfg.image_size), 16)
     r, s = derive_rescale_shift(np.float64(dfl_acc_scale), anchor_scale,
                                 cfg.koeff_bits)

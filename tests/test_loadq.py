@@ -85,6 +85,47 @@ def test_packed_state_dict_load(tmp_path):
             np.testing.assert_array_equal(loaded.convs[name].r2, c.r2)
 
 
+def test_full_quant_packed_roundtrip_decode(tmp_path):
+    """Full-quant packed dict carries the QUANTIZED dfl (reference
+    stage_7 packing on a 6b tree); the reload must recover the head plan
+    from dfl_conv ints + the stored bias_scales/dfl_scale — detections
+    through the q_NMS pipeline stay bit-identical to the built model."""
+    from alpha_yolo_quant_tpu.export.pickles import load_packed_state_dict
+    from alpha_yolo_quant_tpu.quantize.loadq import (
+        model_from_artifacts as mfa, model_from_packed_state_dict,
+    )
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg = QuantConfig(model="yolov8n", k=8, image_size=64, full_quant=True)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=4)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    built = build_quantized_model(graph, params, max_a, cfg)
+    out = str(tmp_path / "8_nano")
+    env = golden_forward(built, RNG.uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32))
+    export_all(built, env, params, out, warn=lambda *a: None)
+
+    sd = load_packed_state_dict(
+        os.path.join(out, "results", "QUANT_WEIGHTS_8.pickle"))
+    np.testing.assert_array_equal(       # packed dfl is the QUANTIZED one
+        np.asarray(sd["dfl.weight"]).reshape(-1),
+        np.asarray(built.head.dfl_w_q).reshape(-1))
+
+    x = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    fn_b, _ = build_int_pipeline(built)
+    det_b, n_b = fn_b(jnp.asarray(x))
+    for loaded in (model_from_packed_state_dict(out, cfg), mfa(out, cfg)):
+        h = loaded.head
+        assert h.dfl_acc_scale == built.head.dfl_acc_scale
+        assert (h.dfl_r, h.dfl_s) == (built.head.dfl_r, built.head.dfl_s)
+        fn_l, _ = build_int_pipeline(loaded)
+        det_l, n_l = fn_l(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(n_l), np.asarray(n_b))
+        np.testing.assert_array_equal(np.asarray(det_l), np.asarray(det_b))
+
+
 @pytest.mark.parametrize("k", [4, 6])
 def test_bitwidth_sweep_roundtrip(tmp_path, k):
     """Config #4: calibrate -> quantize -> export -> reload at K=4/6 stays
