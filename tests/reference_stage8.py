@@ -225,10 +225,11 @@ def run_stage(tmp: str, leaf: str, model: str = "yolov8n", k: int = 8,
     """Execute a deployed-runtime reference stage with cwd=tmp. Returns
     the executed module (its pipeline runs at import time).
 
-    leaf: 'stage_7' | 'stage_8_torch' | 'stage_8_torch_full_quant'.
+    leaf: 'stage_7' | 'stage_8_torch' | 'stage_8_torch_full_quant' |
+    'stage_8_memory'.
     """
     install_torch_runtime_shims()
-    if leaf.startswith("stage_8"):
+    if leaf in ("stage_8_torch", "stage_8_torch_full_quant"):
         # 8b imports deeplake/map_boxes at top level too (its validation
         # loop is commented out but the imports are not)
         assert golden_img is not None
@@ -237,6 +238,22 @@ def run_stage(tmp: str, leaf: str, model: str = "yolov8n", k: int = 8,
     import matplotlib
 
     matplotlib.use("Agg")
+    if leaf == "stage_8_memory":
+        # writes ./results/memory.txt + per-op heatmaps into ./memory
+        # relative to cwd (stage_8_memory.py:28, mem_ckecker.py:34-37);
+        # mem_ckecker holds the SRAM state in module globals created at
+        # import, so force a fresh execution of it too
+        os.makedirs(os.path.join(tmp, "results"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "memory"), exist_ok=True)
+        sys.modules.pop(
+            f"{reference_oracle._PKG}.quantisation.utils.mem_ckecker",
+            None)
+        # the per-op seaborn heatmap renders a 358400x8 quadmesh ~80
+        # times (minutes of pure plotting); the trace bytes under test
+        # never depend on it, so stub just the draw call
+        import seaborn
+
+        seaborn.heatmap = lambda *a, **kw: None
     _patch_stage0(model, k)
     cwd = os.getcwd()
     os.chdir(tmp)
