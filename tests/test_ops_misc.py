@@ -93,3 +93,34 @@ def test_fast_lut_backend_tracking():
     assert fl.for_current_backend() is fl
     idx = jnp.arange(lut.lo, lut.hi + 1, dtype=jnp.int32)
     np.testing.assert_array_equal(np.asarray(fl.apply(idx)), lut.values)
+
+
+def test_fast_lut_backend_guard_fires():
+    """The cross-backend contract is CODE, not docstring (VERDICT r3 #5):
+    applying a FastLut under a different default backend than it was
+    validated on raises with the for_current_backend remedy. Simulated by
+    rebinding validated_backend (this env has one backend); the exact-
+    gather fallback stays backend-agnostic and must NOT raise."""
+    import dataclasses
+
+    import pytest
+
+    from alpha_yolo_quant_tpu.ops.lutfast import build_fast_lut
+    from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
+
+    lut = sigmoid_lut(7, 8)
+    fl = build_fast_lut(lut, "sigmoid")
+    idx = jnp.arange(lut.lo, lut.hi + 1, dtype=jnp.int32)
+    moved = dataclasses.replace(fl, validated_backend="some-other")
+    with pytest.raises(RuntimeError, match="for_current_backend"):
+        moved.apply(idx)
+    with pytest.raises(RuntimeError, match="for_current_backend"):
+        moved.apply_clipped(idx)
+    # the remedy revalidates and works again
+    fixed = moved.for_current_backend()
+    np.testing.assert_array_equal(np.asarray(fixed.apply(idx)),
+                                  lut.values)
+    # gather fallback: backend-agnostic, no guard
+    gather = dataclasses.replace(moved, use_gather=True)
+    np.testing.assert_array_equal(np.asarray(gather.apply(idx)),
+                                  lut.values)
