@@ -34,15 +34,17 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 
 
-def make_mesh_2d(dp: int, tp: int) -> Mesh:
+def make_mesh_2d(dp: int, tp: int, axes=("dp", "tp")) -> Mesh:
     """(dp, tp) mesh: batch over 'dp', model (output channels) over 'tp'.
 
     At YOLOv8n scale tensor parallelism is never a win (3M params — see
     SURVEY.md §2.9), but the sharding seam exists so larger variants can
-    shard: conv weights partition on C_out, XLA inserts the gathers."""
+    shard: conv weights partition on C_out, XLA inserts the gathers.
+    ``axes`` names the two mesh axes (e.g. ("dp", "sp") for the combined
+    throughput+latency mesh of ``dp_sp_parallel_fn``)."""
     devices = jax.devices()[: dp * tp]
     return jax.make_mesh(
-        (dp, tp), ("dp", "tp"),
+        (dp, tp), tuple(axes),
         axis_types=(jax.sharding.AxisType.Auto,) * 2, devices=devices)
 
 
@@ -120,6 +122,50 @@ def spatial_parallel_fn(fn, mesh: Mesh, axis: str = "sp"):
     spec = NamedSharding(mesh, P(None, None, axis, None))
     return jax.jit(fn, in_shardings=(spec,),
                    out_shardings=NamedSharding(mesh, P()))
+
+
+def dp_sp_parallel_fn(fn, mesh: Mesh, dp_axis: str = "dp",
+                      sp_axis: str = "sp"):
+    """Combined throughput+latency sharding on a 2-D (dp, sp) mesh: the
+    batch is sharded over ``dp_axis`` AND every image's height over
+    ``sp_axis`` (GSPMD inserts the conv halo exchanges within each sp
+    group, exactly as in ``spatial_parallel_fn``). The regime between
+    pure dp (big batches) and pure sp (a lone image): a handful of
+    concurrent requests, each of which should still finish faster than a
+    single chip allows.
+
+    Composition matters for bitwise parity: ``dp_axis`` is made MANUAL
+    via shard_map and only ``sp_axis`` is left to GSPMD. Handing the
+    partitioner the whole 2-D mesh through plain jit shardings instead
+    lets it spend the idle dp axis on its own strategies — on this
+    toolchain it splits conv contractions across dp, whose partial-sum
+    rounding breaks the exact-int engines (measured 0.5% divergence on
+    the full-quant preds, scripts/_dpsp_probe2.py: sp-only on a 2-D mesh
+    diverges while the identical sp sharding on a 1-D mesh is bitwise).
+    With dp manual, each dp group reproduces the proven-bitwise pure-sp
+    regime, so results equal the jitted unsharded run bit-for-bit
+    (tested: tests/test_parallel.py::test_dp_sp_combined_mesh_matches_local).
+
+    The same even-divisibility constraint as ``spatial_parallel_fn``
+    applies to the sp extent. Build ``fn`` with ``with_nms=False``;
+    outputs come back batch-sharded over ``dp_axis`` (the sp axis is
+    gathered inside the seam)."""
+    from jax import shard_map
+
+    def body(x):
+        # manual over dp (x is the local batch shard), auto over sp:
+        # pin the height sharding so GSPMD partitions the body over sp
+        # exactly as in spatial_parallel_fn, then gather before leaving
+        x = jax.lax.with_sharding_constraint(
+            x, P(None, None, sp_axis, None))
+        return jax.lax.with_sharding_constraint(fn(x), P())
+
+    mapped = shard_map(body, mesh=mesh, in_specs=(P(dp_axis),),
+                       out_specs=P(dp_axis), axis_names={dp_axis})
+    return jax.jit(
+        mapped,
+        in_shardings=(NamedSharding(mesh, P(dp_axis, None, sp_axis,
+                                            None)),))
 
 
 def sharded_forward_fn(graph, mesh: Mesh, decode: bool = True,

@@ -64,19 +64,7 @@ def test_dryrun_multichip_is_self_contained():
     __graft_entry__ and call dryrun_multichip(8) directly. The function must
     force the virtual CPU mesh itself (round-1 MULTICHIP failure: it
     initialized the real-TPU backend when called this way)."""
-    import os
-    import subprocess
-    import sys
-
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = ("import __graft_entry__ as g; g.dryrun_multichip(8); "
-            "print('DRIVER_OK')")
-    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
-                       capture_output=True, text=True, timeout=600)
-    assert r.returncode == 0, r.stderr[-3000:]
-    assert "DRIVER_OK" in r.stdout
+    _run_dryrun_subprocess(8, timeout=600)
 
 
 def test_shard_map_serving_step_matches_local():
@@ -130,6 +118,57 @@ def test_sp_height_sharding_matches_local():
     got = np.asarray(sp_fn(imgs))
     want = np.asarray(jax.jit(fn)(imgs))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dp_sp_combined_mesh_matches_local():
+    """dp x sp combined mesh (VERDICT r3 #6): batch sharded over 'dp',
+    image height over 'sp' on a (2, 2) mesh — bitwise identical to the
+    jitted unsharded run. Covers the regime between pure dp and pure sp:
+    several concurrent requests, each spatially split."""
+    from alpha_yolo_quant_tpu.parallel.mesh import dp_sp_parallel_fn
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_stats, reduce_stats,
+    )
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    cfg, graph, params = _setup()
+    calib = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+                               with_nms=False)
+
+    mesh = make_mesh_2d(2, 2, axes=("dp", "sp"))
+    dpsp_fn = dp_sp_parallel_fn(fn, mesh)
+    imgs = RNG.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    got = np.asarray(dpsp_fn(imgs))
+    want = np.asarray(jax.jit(fn)(imgs))
+    np.testing.assert_array_equal(got, want)
+
+
+def _run_dryrun_subprocess(n_devices, timeout):
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (f"import __graft_entry__ as g; g.dryrun_multichip({n_devices}); "
+            "print('DRIVER_OK')")
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "DRIVER_OK" in r.stdout
+
+
+def test_dryrun_multichip_scales_to_16_and_32():
+    """Mesh-depth check (VERDICT r3 #6): the driver's dryrun contract must
+    hold beyond 8 devices. Fresh process per count — XLA parses
+    xla_force_host_platform_device_count once per process."""
+    for n in (16, 32):
+        _run_dryrun_subprocess(n, timeout=1200)
 
 
 def test_two_process_distributed_parity():
