@@ -18,9 +18,54 @@ BATCH = 128
 WARMUP = 3
 ITERS = 10
 
+# Recorded result envelopes on v5e-1 (observed min/max across official
+# runs + probe re-runs, rounds 3-5 internal / driver rounds 1-3 —
+# STATUS.md "Measurement truths", scripts/README.md "Round 5 findings").
+# Run-to-run spread of a slope-timed pair is ~2.3%; --check allows
+# 2 spreads beyond the observed band on EACH side. Below: regression.
+# Above: measurement-harness suspicion — phantom speedups are how trap
+# #6b (DCE of unconsumed outputs) manifested, so a too-good number fails
+# the check too until a human blesses a new envelope.
+SPREAD = 0.023
+ENVELOPES = {
+    "yolov8n_640_int8_e2e": (3988.0, 4116.0),
+    "yolov8n_640_int6_e2e": (4364.0, 4364.0),
+    "yolov8n_640_int4_e2e": (4004.0, 4033.0),
+    "yolov8s_640_int8_e2e": (1802.0, 1819.0),
+    "yolov8n_320_int8_e2e": (16151.0, 16151.0),
+}
+
+
+def check_envelope(metric: str, img_s: float) -> int:
+    """Return a process exit code: 0 inside the recorded envelope
+    (+/- 2 spreads), 1 outside, 2 if no envelope is recorded for this
+    config (nothing to regress against)."""
+    import sys
+
+    env = ENVELOPES.get(metric)
+    if env is None:
+        print(f"check: no recorded envelope for {metric} "
+              f"(known: {sorted(ENVELOPES)})", file=sys.stderr)
+        return 2
+    lo, hi = env[0] * (1 - 2 * SPREAD), env[1] * (1 + 2 * SPREAD)
+    if img_s < lo:
+        print(f"check: REGRESSION {metric}: {img_s:.1f} img/s < "
+              f"{lo:.1f} (envelope {env[0]:.0f}-{env[1]:.0f} "
+              f"- 2x{SPREAD:.1%})", file=sys.stderr)
+        return 1
+    if img_s > hi:
+        print(f"check: SUSPICIOUS {metric}: {img_s:.1f} img/s > "
+              f"{hi:.1f} — faster than any recorded run; verify the "
+              "harness still consumes every output leaf (trap #6b) "
+              "before blessing a new envelope", file=sys.stderr)
+        return 1
+    print(f"check: ok {metric}: {img_s:.1f} in "
+          f"[{lo:.1f}, {hi:.1f}]", file=sys.stderr)
+    return 0
+
 
 def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
-         iters=ITERS, input_dtype="f32"):
+         iters=ITERS, input_dtype="f32", check=False):
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
@@ -129,6 +174,8 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
     }))
+    if check:
+        raise SystemExit(check_envelope(metric, img_s))
 
 
 if __name__ == "__main__":
@@ -145,6 +192,11 @@ if __name__ == "__main__":
                     help="image ingest dtype: f32 [0,1] tensors (the "
                          "round-comparable default) or raw uint8 pixels "
                          "normalized on device")
+    ap.add_argument("--check", action="store_true",
+                    help="compare the result against the recorded "
+                         "per-config envelope and exit nonzero outside "
+                         "it (regression below, harness suspicion "
+                         "above) — one command answers 'did we regress'")
     a = ap.parse_args()
     main(model=a.model, k=a.k, image_size=a.image_size, engine=a.engine,
-         batch=a.batch, iters=a.iters, input_dtype=a.input)
+         batch=a.batch, iters=a.iters, input_dtype=a.input, check=a.check)

@@ -1,0 +1,51 @@
+"""bench.py --check: the regression envelope gate (VERDICT r3 #7).
+
+Pure-logic tests — no TPU, no model build. The envelope itself is
+measured hardware truth (STATUS.md); these pin the gate semantics:
+inside passes, below fails (regression), above fails (trap-#6b-style
+phantom speedup), unknown config reports 'nothing to regress against'.
+"""
+
+import os
+import sys
+
+import conftest  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from bench import ENVELOPES, SPREAD, check_envelope  # noqa: E402
+
+M = "yolov8n_640_int8_e2e"
+
+
+def test_inside_envelope_passes():
+    lo, hi = ENVELOPES[M]
+    assert check_envelope(M, (lo + hi) / 2) == 0
+    # the 2-spread guard band is part of the pass region
+    assert check_envelope(M, lo * (1 - 1.9 * SPREAD)) == 0
+    assert check_envelope(M, hi * (1 + 1.9 * SPREAD)) == 0
+
+
+def test_regression_fails():
+    lo, _ = ENVELOPES[M]
+    assert check_envelope(M, lo * (1 - 2.1 * SPREAD)) == 1
+
+
+def test_phantom_speedup_fails():
+    _, hi = ENVELOPES[M]
+    assert check_envelope(M, hi * (1 + 2.1 * SPREAD)) == 1
+
+
+def test_unknown_metric_reports_no_envelope():
+    assert check_envelope("yolov8n_999_int8_e2e", 1234.0) == 2
+
+
+def test_envelopes_cover_the_recorded_k_sweep():
+    # the per-K expected ranges the verdict asked to record
+    for m in ("yolov8n_640_int8_e2e", "yolov8n_640_int6_e2e",
+              "yolov8n_640_int4_e2e", "yolov8s_640_int8_e2e",
+              "yolov8n_320_int8_e2e"):
+        assert m in ENVELOPES
+        lo, hi = ENVELOPES[m]
+        assert 0 < lo <= hi
