@@ -197,7 +197,7 @@ def cmd_eval_float(args):
         return non_max_suppression(
             preds, NmsParams(conf_thres=args.conf_thres, pre_topk=1000))
 
-    _eval_common(args, step, "fp32 BN-fused", 4, "orig")
+    return _eval_common(args, step, "fp32 BN-fused", 4, "orig")
 
 
 def cmd_eval_int8(args):
@@ -223,10 +223,11 @@ def cmd_eval_int8(args):
         nms_params=eval_nms_params(model, args.conf_thres),
         engine=args.engine, pad_batch_to=pad)
     step = jax.jit(fn)
-    _eval_common(args, step,
-                 f"int{cfg.k}" + (" full-quant q_NMS" if cfg.full_quant
-                                  else " float NMS"), 7,
-                 f"QUANT_{cfg.k}_channel")
+    return _eval_common(args, step,
+                        f"int{cfg.k}" + (" full-quant q_NMS"
+                                         if cfg.full_quant
+                                         else " float NMS"), 7,
+                        f"QUANT_{cfg.k}_channel")
 
 
 def cmd_memsim(args):
@@ -311,6 +312,81 @@ def cmd_info(args):
           f"({sim.peak_rows} rows of 8)")
 
 
+def cmd_accept(args):
+    """One-command accuracy acceptance (docs/ACCURACY_RUNBOOK.md as
+    code): prepare -> gate 1 (fp32 mAP) -> calibrate -> gate 2 (int8,
+    float NMS) -> gate 3 (int8 full-quant, q_NMS) -> optional K sweep
+    -> report table. Exit nonzero when a gate's mAP50-95 drop vs the
+    fp32 baseline exceeds the budget (BASELINE: 0.5).
+
+    The first session with real yolov8n.pt + COCO is this single
+    invocation; the flow is rehearsed end-to-end on a synthetic
+    checkpoint + synthetic COCO in tests/test_cli.py."""
+    from argparse import Namespace
+
+    common = dict(model=args.model, image_size=args.image_size,
+                  coco_images=args.coco_images, coco_ann=args.coco_ann,
+                  limit=args.limit, batch_size=args.batch_size,
+                  conf_thres=args.conf_thres, prefetch=args.prefetch)
+
+    def out_for(k):
+        # reference artifact-dir naming: 8_nano / 6_nano / 4_nano
+        # (stage_0.py's per-K trees); the primary K uses --out as given
+        return args.out if k == args.k else os.path.join(
+            os.path.dirname(args.out) or ".",
+            f"{k}_{'nano' if args.model == 'yolov8n' else 'small'}")
+
+    print(f"== accept: prepare ({args.checkpoint or 'random init'}) ==")
+    cmd_prepare(Namespace(model=args.model, k=args.k,
+                          image_size=args.image_size, out=args.out,
+                          checkpoint=args.checkpoint))
+    weights = os.path.join(args.out, "results", "weights_batchnf.npz")
+
+    print("== accept: gate 1 — fp32 BN-fused mAP ==")
+    g1 = cmd_eval_float(Namespace(k=args.k, out=args.out,
+                                  weights=weights, **common))
+
+    rows = []   # (label, res, out_dir)
+    ks = [args.k] + [int(s) for s in
+                     (args.k_sweep.split(",") if args.k_sweep else [])]
+    for k in ks:
+        out_k = out_for(k)
+        print(f"== accept: calibrate K={k} (mode={args.mode}) ==")
+        cmd_calibrate(Namespace(k=k, out=out_k, weights=weights,
+                                mode=args.mode, **common))
+        max_a = os.path.join(out_k, "results", "max_a.txt")
+        print(f"== accept: gate 2 — int{k}, float NMS ==")
+        g2 = cmd_eval_int8(Namespace(k=k, out=out_k, weights=weights,
+                                     max_a=max_a, full_quant=False,
+                                     engine=args.engine, **common))
+        rows.append((f"int{k} float-NMS", g2, out_k))
+        print(f"== accept: gate 3 — int{k} full-quant, q_NMS ==")
+        g3 = cmd_eval_int8(Namespace(k=k, out=out_k, weights=weights,
+                                     max_a=max_a, full_quant=True,
+                                     engine=args.engine, **common))
+        rows.append((f"int{k} full-quant", g3, out_k))
+
+    print("\n== acceptance report ==")
+    print(f"{'config':<20}{'mAP50-95':>10}{'drop':>8}  verdict")
+    print(f"{'fp32 baseline':<20}{g1.map50_95:>10.4f}{0.0:>8.4f}  "
+          "(gate 1)")
+    failed = []
+    for label, res, _ in rows:
+        drop = g1.map50_95 - res.map50_95
+        ok = drop <= args.drop_budget
+        print(f"{label:<20}{res.map50_95:>10.4f}{drop:>8.4f}  "
+              f"{'PASS' if ok else 'FAIL'} (budget {args.drop_budget})")
+        if not ok:
+            failed.append(label)
+    if failed:
+        print(f"ACCEPT: FAIL ({', '.join(failed)}) — sweep calibration "
+              "modes (--mode median | min_mae | n=5) before touching "
+              "the quantizer", file=sys.stderr)
+        return 1
+    print("ACCEPT: PASS")
+    return 0
+
+
 def cmd_bench(args):
     import bench
 
@@ -391,6 +467,30 @@ def main(argv=None):
     common(sp, weights=False)
     sp.add_argument("--max-a")
     sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("accept",
+                        help="one-command accuracy acceptance: prepare "
+                             "-> fp32 gate -> calibrate -> int gates "
+                             "-> K sweep -> report")
+    common(sp, weights=False)
+    sp.add_argument("--checkpoint", help="torch .pt state dict "
+                    "(ultralytics yolov8n.pt / yolov8s.pt)")
+    sp.add_argument("--coco-images", required=True)
+    sp.add_argument("--coco-ann", required=True)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--conf-thres", type=float, default=1e-8,
+                    help="mAP protocol threshold (runbook default)")
+    sp.add_argument("--prefetch", action="store_true")
+    sp.add_argument("--mode", default="max",
+                    help="calibration reduction (stage_5 lever)")
+    sp.add_argument("--engine", default="auto")
+    sp.add_argument("--k-sweep", default="",
+                    help="extra bit widths, e.g. '6,4' (each gets its "
+                         "own artifact dir + gates)")
+    sp.add_argument("--drop-budget", type=float, default=0.5,
+                    help="max allowed mAP50-95 drop vs fp32 (BASELINE)")
+    sp.set_defaults(fn=cmd_accept)
 
     sp = sub.add_parser("bench", help="single-chip throughput")
     common(sp, weights=False)

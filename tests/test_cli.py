@@ -90,6 +90,40 @@ def test_eval_float_on_synthetic_coco(art, tmp_path):
     assert os.path.exists(os.path.join(art, "results", "det_orig.csv"))
 
 
+def test_accept_flow_end_to_end(tmp_path):
+    """`ayq accept` (VERDICT r3 #8): the one-command acceptance — prepare
+    -> fp32 gate -> calibrate -> int gates -> K sweep -> report — runs
+    first-try on synthetic COCO at toy size. Random-init weights give a
+    ~0 fp32 baseline, so the 0.5-drop budget passes (exit 0) and every
+    per-K artifact dir materializes."""
+    from tests_synth import write_synthetic_coco
+
+    img_dir, ann = write_synthetic_coco(tmp_path, n_images=4)
+    out = str(tmp_path / "8_nano")
+    rc = cli.main(["accept", "--out", out, "--image-size", "64",
+                   "--coco-images", img_dir, "--coco-ann", ann,
+                   "--batch-size", "2", "--limit", "4",
+                   "--k-sweep", "4"])
+    assert rc == 0
+    # gate artifacts: fp32 + int8 runs in --out, the K=4 sweep in 4_nano
+    assert os.path.exists(os.path.join(out, "results", "runs_val",
+                                       "results.txt"))
+    assert os.path.exists(os.path.join(out, "results", "max_a.txt"))
+    out4 = os.path.join(os.path.dirname(out), "4_nano")
+    assert os.path.exists(os.path.join(out4, "results", "max_a.txt"))
+    assert os.path.exists(os.path.join(out4, "results", "runs_val",
+                                       "results.txt"))
+    # gate 1 writes the reference's ORIG_MODEL_MAP.txt; gates 2/3 append
+    # to runs_val/results.txt with their stage comments
+    assert os.path.exists(os.path.join(out, "results",
+                                       "ORIG_MODEL_MAP.txt"))
+    with open(os.path.join(out, "results", "runs_val",
+                           "results.txt")) as f:
+        log = f.read()
+    assert "int8 float NMS" in log
+    assert "int8 full-quant q_NMS" in log
+
+
 def test_prepare_from_synthetic_torch_checkpoint(tmp_path):
     """End-to-end validation of the real-checkpoint path WITHOUT real
     weights (this image has no yolov8n.pt): a synthetic torch-format

@@ -1,0 +1,145 @@
+"""Request coalescing (VERDICT r3 #3): bitwise parity and batcher
+semantics of alpha_yolo_quant_tpu.serving.
+
+The bit-exactness claim rests on batch independence — the same proof
+obligation as the pad_batch_to knob — so every parity assert here is
+array_equal, not allclose.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+import conftest  # noqa: F401
+
+import jax
+
+from alpha_yolo_quant_tpu.config import QuantConfig
+from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+from alpha_yolo_quant_tpu.models.params import init_params
+from alpha_yolo_quant_tpu.quantize.calibrate import collect_stats, \
+    reduce_stats
+from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+from alpha_yolo_quant_tpu.serving import BatchCoalescer, coalesced_fn
+
+RNG = np.random.default_rng(41)
+SIZE = 64
+
+
+def _pipeline():
+    cfg = QuantConfig(model="yolov8n", image_size=SIZE, full_quant=True)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=0)
+    calib = RNG.uniform(0, 1, (2, 3, SIZE, SIZE)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+    return fn
+
+
+def _req(b):
+    return RNG.uniform(0, 1, (b, 3, SIZE, SIZE)).astype(np.float32)
+
+
+def test_coalesced_fn_bitwise_matches_per_request():
+    fn = _pipeline()
+    step = jax.jit(coalesced_fn(fn, n_requests=2))
+    a, b = _req(2), _req(2)
+    (det_a, n_a), (det_b, n_b) = step(a, b)
+    # bitwise contract holds jit-vs-jit; an EAGER reference shows
+    # last-ulp FMA-contraction diffs in the float box decode (same
+    # artifact as parallel.mesh.spatial_parallel_fn's docstring)
+    jfn = jax.jit(fn)
+    want_a = jfn(a)
+    want_b = jfn(b)
+    np.testing.assert_array_equal(np.asarray(det_a),
+                                  np.asarray(want_a[0]))
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(want_a[1]))
+    np.testing.assert_array_equal(np.asarray(det_b),
+                                  np.asarray(want_b[0]))
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(want_b[1]))
+
+
+def test_coalesced_fn_uneven_requests():
+    fn = _pipeline()
+    step = jax.jit(coalesced_fn(fn, n_requests=3))
+    jfn = jax.jit(fn)
+    reqs = [_req(1), _req(3), _req(2)]
+    parts = step(*reqs)
+    for r, (det, n_det) in zip(reqs, parts):
+        want = jfn(r)
+        np.testing.assert_array_equal(np.asarray(det),
+                                      np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(n_det),
+                                      np.asarray(want[1]))
+
+
+def test_coalescer_fills_and_flushes_bitwise():
+    fn = _pipeline()
+    with BatchCoalescer(fn, max_batch=8, max_wait_ms=10_000,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        reqs = [_req(3), _req(5)]   # fills 8 exactly -> immediate flush
+        futs = [co.submit(r) for r in reqs]
+        jfn = jax.jit(fn)
+        for r, f in zip(reqs, futs):
+            det, n_det = f.result(timeout=300)
+            want = jfn(r)
+            np.testing.assert_array_equal(det, np.asarray(want[0]))
+            np.testing.assert_array_equal(n_det, np.asarray(want[1]))
+
+
+def test_coalescer_timeout_flushes_partial():
+    fn = _pipeline()
+    with BatchCoalescer(fn, max_batch=8, max_wait_ms=50,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        r = _req(2)
+        t0 = time.monotonic()
+        det, n_det = co.submit(r).result(timeout=300)
+        assert time.monotonic() - t0 >= 0.045  # waited for the timeout
+        want = jax.jit(fn)(r)
+        np.testing.assert_array_equal(det, np.asarray(want[0]))
+        np.testing.assert_array_equal(n_det, np.asarray(want[1]))
+
+
+def test_coalescer_concurrent_submitters():
+    fn = _pipeline()
+    want_cache = {}
+    jfn = jax.jit(fn)
+    reqs = [_req(b) for b in (1, 2, 3, 2, 4, 2, 1, 1)]
+    for i, r in enumerate(reqs):
+        w = jfn(r)
+        want_cache[i] = (np.asarray(w[0]), np.asarray(w[1]))
+    results = {}
+    with BatchCoalescer(fn, max_batch=8, max_wait_ms=30,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        def worker(i):
+            results[i] = co.submit(reqs[i]).result(timeout=300)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    for i in range(len(reqs)):
+        det, n_det = results[i]
+        np.testing.assert_array_equal(det, want_cache[i][0])
+        np.testing.assert_array_equal(n_det, want_cache[i][1])
+
+
+def test_coalescer_rejects_bad_requests():
+    fn = _pipeline()
+    with BatchCoalescer(fn, max_batch=8, max_wait_ms=10,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        try:
+            co.submit(_req(9))
+            assert False, "oversized request accepted"
+        except ValueError:
+            pass
+        try:
+            co.submit(np.zeros((2, 3, SIZE, SIZE // 2), np.float32))
+            assert False, "wrong image shape accepted"
+        except ValueError:
+            pass
