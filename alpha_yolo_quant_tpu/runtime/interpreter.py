@@ -876,7 +876,8 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                        with_nms: bool = True, nms_params=None,
                        engine: str = "xla", sparse_select: bool = False,
                        pad_batch_to: Optional[int] = None,
-                       options: "EngineOptions" = None):
+                       options: "EngineOptions" = None,
+                       coalesce_requests: Optional[int] = None):
     """Return a jittable images->detections function for this model.
 
     dfl_w_float: the float DFL weights (required for the partial-quant
@@ -898,7 +899,15 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
     per-image computation is batch-independent (tested).
     options: per-pipeline EngineOptions (engine flavor A/B switches plus
     the stage-8 per_image_amax input-quant quirk); None inherits the
-    deprecated module globals."""
+    deprecated module globals.
+    coalesce_requests: serving knob — fn takes that many request arrays
+    instead of one batch, quantizes EACH at its real width, and
+    concatenates at the quantized activation dtype (bf16/int8 — half
+    the bytes of f32) before one conv-stack pass; outputs split back
+    per request. Bit-exact vs per-request runs (batch independence —
+    tests/test_serving.py); faster than f32-level coalescing
+    (serving.coalesced_fn) because the request seam never materializes
+    a concatenated f32 batch (measured on v5e: scripts/r6_b64co2.log)."""
     from alpha_yolo_quant_tpu.models.head import decode_float
     from alpha_yolo_quant_tpu.postprocess.nms import (
         NmsParams, non_max_suppression, q_nms_params,
@@ -968,10 +977,7 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                                        score_map=score_map)
         return preds
 
-    def fn(images):
-        b = images.shape[0]
-        x_q = quantize_input(images, k, out_dtype=q_dt,
-                             per_image_amax=options.per_image_amax)
+    def _quantized_run(x_q, b):
         padded = pad_batch_to is not None and b < pad_batch_to
         if padded:
             # only the conv stack needs the lane-optimal width: quantize
@@ -987,5 +993,32 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
         if padded:
             outs = {name: t[:b] for name, t in outs.items()}
         return _post(outs)
+
+    def _quant(images):
+        return quantize_input(images, k, out_dtype=q_dt,
+                              per_image_amax=options.per_image_amax)
+
+    if coalesce_requests is not None:
+        import jax
+
+        n_req = int(coalesce_requests)
+
+        def fn(*requests):
+            if len(requests) != n_req:
+                raise ValueError(f"expected {n_req} requests, "
+                                 f"got {len(requests)}")
+            sizes = [r.shape[0] for r in requests]
+            x_q = jnp.concatenate([_quant(r) for r in requests], 0)
+            res = _quantized_run(x_q, sum(sizes))
+            parts = []
+            off = 0
+            for s in sizes:
+                parts.append(jax.tree_util.tree_map(
+                    lambda t, o=off, s=s: t[o:o + s], res))
+                off += s
+            return tuple(parts)
+    else:
+        def fn(images):
+            return _quantized_run(_quant(images), images.shape[0])
 
     return fn, plan

@@ -33,6 +33,9 @@ ENVELOPES = {
     "yolov8n_640_int4_e2e": (4004.0, 4033.0),
     "yolov8s_640_int8_e2e": (1802.0, 1819.0),
     "yolov8n_320_int8_e2e": (16151.0, 16151.0),
+    # the robust B=64 protocol: two coalesced 64-image requests per
+    # step (--batch 64 --coalesce 2; scripts/r6_b64co2.log)
+    "yolov8n_640_int8_e2e_co2x64": (3680.6, 3680.6),
 }
 
 
@@ -65,7 +68,7 @@ def check_envelope(metric: str, img_s: float) -> int:
 
 
 def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
-         iters=ITERS, input_dtype="f32", check=False):
+         iters=ITERS, input_dtype="f32", check=False, coalesce=0):
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
@@ -93,8 +96,19 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # 31.8 ms padded, scripts/r5_b64.log). Model-aware: yolov8s has no
     # mid-batch pathology and padding HURTS there (68.9 vs 72.4 ms,
     # scripts/r5_spad.log). Throughput still counts only REAL images.
-    pad = 128 if (model == "yolov8n" and 32 < batch < 128) else None
-    fn, _ = build_int_pipeline(qmodel, engine=engine, pad_batch_to=pad)
+    if coalesce:
+        # B=64-protocol serving seam (VERDICT r3 #3): `coalesce`
+        # requests of `batch` images each ride ONE conv-stack step —
+        # per-request quantize, bf16-level concat (bit-exact vs
+        # per-request runs: tests/test_serving.py; on-TPU parity
+        # r6_b64co2.log). Throughput counts all real images.
+        fn_multi, _ = build_int_pipeline(qmodel, engine=engine,
+                                         coalesce_requests=coalesce)
+        metric += f"_co{coalesce}x{batch}"
+        pad = None
+    else:
+        pad = 128 if (model == "yolov8n" and 32 < batch < 128) else None
+        fn, _ = build_int_pipeline(qmodel, engine=engine, pad_batch_to=pad)
 
     import jax.numpy as jnp
 
@@ -106,33 +120,49 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # is a runtime value) — the images buffer stays read-only. Writing
     # even one element of it per iteration forces XLA to COPY the whole
     # 629MB f32 batch each iteration (~2.3 ms of harness overhead,
-    # scripts/r3_quant2.log R0/R1).
+    # scripts/r3_quant2.log R0/R1). The carry threads into EVERY input
+    # (trap #6: with multiple coalesced requests, work depending only on
+    # the un-carried inputs is loop-invariant and hoists), and one
+    # element of EVERY output leaf is consumed (trap #6b).
+    if coalesce:
+        def step_inner(imgs):
+            return jax.tree_util.tree_leaves(fn_multi(*imgs))
+        n_inputs = coalesce
+    else:
+        def step_inner(imgs):
+            return jax.tree_util.tree_leaves(fn(imgs[0]))
+        n_inputs = 1
+
     @jax.jit
     def chained(images, n_iters):
         def body(i, acc):
-            det, n_det = step_inner(
-                images + jnp.isnan(acc).astype(images.dtype))
+            dep = jnp.isnan(acc)
+            leaves = step_inner(tuple(
+                im + dep.astype(im.dtype) for im in images))
             # liveness comes from the CARRY consuming one element of
-            # BOTH outputs (trap #6b, scripts/_slope.py: a barrier does
-            # not keep computations whose own barrier result is unused);
-            # the barrier's job is blocking slicing/strength-reduction
-            # into the consumed elements
-            det, n_det = jax.lax.optimization_barrier((det, n_det))
-            return (acc + det[0, 0, 0]
-                    + n_det.reshape(-1)[0].astype(jnp.float32))
+            # EVERY output leaf (trap #6b, scripts/_slope.py: a barrier
+            # does not keep computations whose own barrier result is
+            # unused); the barrier's job is blocking slicing/strength-
+            # reduction into the consumed elements
+            leaves = jax.lax.optimization_barrier(tuple(leaves))
+            tot = acc
+            for leaf in leaves:
+                tot = tot + leaf.reshape(-1)[0].astype(jnp.float32)
+            return tot
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
 
-    step_inner = fn
-    images = np.random.default_rng(0).uniform(
-        0, 1, (batch, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    rng0 = np.random.default_rng(0)
+    images = [rng0.uniform(
+        0, 1, (batch, 3, cfg.image_size, cfg.image_size)).astype(
+            np.float32) for _ in range(n_inputs)]
     if input_dtype == "u8":
         # serving-faithful ingest: raw uint8 pixels, normalized on device
         # (quantize_input: u/255 in f32 is bit-identical to a float
         # loader). The official number stays on the f32 contract for
         # round-to-round comparability; --input u8 measures the u8 path.
-        images = np.round(images * 255.0).astype(np.uint8)
+        images = [np.round(im * 255.0).astype(np.uint8) for im in images]
         metric += "_u8"
-    images = jax.device_put(images)
+    images = tuple(jax.device_put(im) for im in images)
 
     # Two-point slope timing: the remote executor has a ~34ms fixed
     # dispatch+fetch latency per synchronous call (measured via a
@@ -167,7 +197,7 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
             f"t_hi={t_hi_min:.4f}s): measurement is noise-dominated; "
             "re-run with --iters higher")
 
-    img_s = batch / dt
+    img_s = batch * n_inputs / dt
     print(json.dumps({
         "metric": metric,
         "value": round(img_s, 2),
@@ -197,6 +227,12 @@ if __name__ == "__main__":
                          "per-config envelope and exit nonzero outside "
                          "it (regression below, harness suspicion "
                          "above) — one command answers 'did we regress'")
+    ap.add_argument("--coalesce", type=int, default=0,
+                    help="serve N coalesced requests of --batch images "
+                         "each through one step (the robust B=64 "
+                         "protocol: --batch 64 --coalesce 2); "
+                         "throughput counts all real images")
     a = ap.parse_args()
     main(model=a.model, k=a.k, image_size=a.image_size, engine=a.engine,
-         batch=a.batch, iters=a.iters, input_dtype=a.input, check=a.check)
+         batch=a.batch, iters=a.iters, input_dtype=a.input, check=a.check,
+         coalesce=a.coalesce)

@@ -129,6 +129,31 @@ def test_coalescer_concurrent_submitters():
         np.testing.assert_array_equal(n_det, want_cache[i][1])
 
 
+def test_pipeline_level_coalescing_bitwise():
+    """build_int_pipeline(coalesce_requests=N): the faster serving seam —
+    per-request quantize, bf16-level concat, one conv-stack pass —
+    must equal the per-request jitted runs bitwise."""
+    cfg = QuantConfig(model="yolov8n", image_size=SIZE, full_quant=True)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=0)
+    calib = RNG.uniform(0, 1, (2, 3, SIZE, SIZE)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn1, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+    fn2, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+                                coalesce_requests=2)
+    a, b = _req(3), _req(2)
+    (det_a, n_a), (det_b, n_b) = jax.jit(fn2)(a, b)
+    jfn = jax.jit(fn1)
+    want_a, want_b = jfn(a), jfn(b)
+    np.testing.assert_array_equal(np.asarray(det_a),
+                                  np.asarray(want_a[0]))
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(want_a[1]))
+    np.testing.assert_array_equal(np.asarray(det_b),
+                                  np.asarray(want_b[0]))
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(want_b[1]))
+
+
 def test_coalescer_rejects_bad_requests():
     fn = _pipeline()
     with BatchCoalescer(fn, max_batch=8, max_wait_ms=10,
