@@ -13,6 +13,8 @@ subcommand with flags, all writing into one artifact directory:
   eval-int8  stage 8/8b: quantized COCO mAP (float NMS or full q_NMS)
   memsim     stage 8c: SRAM allocation simulation
   demo       golden-image smoke test with a detection plot
+  serve      batch-coalescing inference service over an image list
+  accept     one-command accuracy acceptance (all gates + K sweep)
   bench      single-chip throughput
 
 Run as: python -m alpha_yolo_quant_tpu.cli <command> [flags]
@@ -312,6 +314,63 @@ def cmd_info(args):
           f"({sim.peak_rows} rows of 8)")
 
 
+def cmd_serve(args):
+    """Batch-coalescing inference service over a list of images: decode
+    on a host thread pool, submit each image to serving.BatchCoalescer
+    (requests ride ONE compiled max-batch step; timeout flush), emit one
+    JSON line per image: {"path", "n", "detections": [[x1,y1,x2,y2,
+    conf,cls], ...]}. The TPU-native replacement for the reference's
+    one-image-per-script-run serving story (stage_8_torch.py runs a
+    fixed val loop; there is no request path at all)."""
+    import concurrent.futures as cf
+    import json
+
+    from alpha_yolo_quant_tpu.data.coco import load_image_square
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+    from alpha_yolo_quant_tpu.serving import BatchCoalescer
+
+    cfg = _cfg(args)
+    graph, params = _graph_params(args, cfg)
+    max_a = _load_max_a(args)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+                               engine=args.engine)
+    src = sys.stdin if args.input_list == "-" else open(args.input_list)
+    with src:
+        paths = [ln.strip() for ln in src if ln.strip()]
+    results = [None] * len(paths)
+    shape = (3, cfg.image_size, cfg.image_size)
+    with BatchCoalescer(fn, max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms,
+                        image_shape=shape) as co:
+        def one(i, path):
+            img = load_image_square(path, cfg.image_size)[None]
+            det, n_det = co.submit(img).result()
+            return i, det[0][: int(n_det[0])]
+
+        with cf.ThreadPoolExecutor(args.decoders) as pool:
+            futs = [pool.submit(one, i, p) for i, p in enumerate(paths)]
+            for f in cf.as_completed(futs):
+                i, det = f.result()
+                results[i] = det
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for path, det in zip(paths, results):
+            out.write(json.dumps({
+                "path": path,
+                "n": int(len(det)),
+                "detections": [[round(float(v), 4) for v in row]
+                               for row in det],
+            }) + "\n")
+    finally:
+        if args.output:
+            out.close()
+    print(f"served {len(paths)} images"
+          + (f" -> {args.output}" if args.output else ""),
+          file=sys.stderr)
+
+
 def cmd_accept(args):
     """One-command accuracy acceptance (docs/ACCURACY_RUNBOOK.md as
     code): prepare -> gate 1 (fp32 mAP) -> calibrate -> gate 2 (int8,
@@ -467,6 +526,22 @@ def main(argv=None):
     common(sp, weights=False)
     sp.add_argument("--max-a")
     sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("serve",
+                        help="batch-coalescing inference over an image "
+                             "list (JSONL detections out)")
+    common(sp)
+    sp.add_argument("--max-a", required=True)
+    sp.add_argument("--full-quant", action="store_true")
+    sp.add_argument("--engine", default="auto")
+    sp.add_argument("--input-list", required=True,
+                    help="file of image paths, one per line ('-' = stdin)")
+    sp.add_argument("--output", help="JSONL out (default stdout)")
+    sp.add_argument("--max-batch", type=int, default=128)
+    sp.add_argument("--max-wait-ms", type=float, default=5.0)
+    sp.add_argument("--decoders", type=int, default=8,
+                    help="host image-decode threads feeding the batcher")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("accept",
                         help="one-command accuracy acceptance: prepare "

@@ -90,6 +90,31 @@ def test_eval_float_on_synthetic_coco(art, tmp_path):
     assert os.path.exists(os.path.join(art, "results", "det_orig.csv"))
 
 
+def test_serve_jsonl_over_image_list(art, tmp_path):
+    """`ayq serve`: the BatchCoalescer-backed inference service emits one
+    valid JSONL row per input image, in input order, with (n, 6)-shaped
+    detections."""
+    from tests_synth import write_synthetic_coco
+
+    img_dir, _ = write_synthetic_coco(tmp_path, n_images=5)
+    paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_path = str(tmp_path / "dets.jsonl")
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    ma = os.path.join(art, "results", "max_a.txt")
+    cli.main(["serve", "--out", art, "--weights", w, "--max-a", ma,
+              "--image-size", "64", "--input-list", str(lst),
+              "--output", out_path, "--max-batch", "4",
+              "--max-wait-ms", "50", "--decoders", "3"])
+    rows = [json.loads(ln) for ln in open(out_path)]
+    assert [r["path"] for r in rows] == paths   # input order preserved
+    for r in rows:
+        assert r["n"] == len(r["detections"])
+        for d in r["detections"]:
+            assert len(d) == 6
+
+
 def test_accept_flow_end_to_end(tmp_path):
     """`ayq accept` (VERDICT r3 #8): the one-command acceptance — prepare
     -> fp32 gate -> calibrate -> int gates -> K sweep -> report — runs
