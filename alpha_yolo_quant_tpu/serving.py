@@ -137,25 +137,37 @@ class BatchCoalescer:
     def _run(self):
         import time
 
-        while True:
+        try:
+            while True:
+                with self._lock:
+                    while True:
+                        if self._queue:
+                            total = sum(r[0].shape[0]
+                                        for r in self._queue)
+                            oldest_wait = (time.monotonic()
+                                           - self._queue[0][2])
+                            if (total >= self.max_batch
+                                    or oldest_wait >= self.max_wait_s
+                                    or self._closed):
+                                batch = self._take_flush()
+                                break
+                            self._lock.wait(self.max_wait_s - oldest_wait)
+                        elif self._closed:
+                            return
+                        else:
+                            self._lock.wait()
+                if batch:
+                    self._execute(batch)
+        except BaseException as e:
+            # a worker death must never hang submitters: fail every
+            # queued future and refuse further submits
             with self._lock:
-                while True:
-                    if self._queue:
-                        total = sum(r[0].shape[0] for r in self._queue)
-                        oldest_wait = (time.monotonic()
-                                       - self._queue[0][2])
-                        if (total >= self.max_batch
-                                or oldest_wait >= self.max_wait_s
-                                or self._closed):
-                            batch = self._take_flush()
-                            break
-                        self._lock.wait(self.max_wait_s - oldest_wait)
-                    elif self._closed:
-                        return
-                    else:
-                        self._lock.wait()
-            if batch:
-                self._execute(batch)
+                self._closed = True
+                pending, self._queue = self._queue, []
+            for _, fut, _ in pending:
+                if not fut.done():
+                    fut.set_exception(e)
+            raise
 
     def _execute(self, batch):
         try:

@@ -41,6 +41,24 @@ def test_unknown_metric_reports_no_envelope():
     assert check_envelope("yolov8n_999_int8_e2e", 1234.0) == 2
 
 
+def test_bench_main_traces_default_and_coalesced(capsys):
+    """The official harness (tuple-input loop after the --coalesce
+    refactor) must trace and emit valid JSON on both paths at toy size.
+    Guards the driver's plain `python bench.py` contract."""
+    import json
+
+    import bench as bench_mod
+
+    bench_mod.main(image_size=64, batch=4, iters=2)
+    bench_mod.main(image_size=64, batch=2, iters=2, coalesce=2)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    d0, d1 = (json.loads(ln) for ln in lines)
+    assert d0["metric"] == "yolov8n_64_int8_e2e" and d0["value"] > 0
+    assert d1["metric"] == "yolov8n_64_int8_e2e_co2x2" and d1["value"] > 0
+
+
 def test_envelopes_cover_the_recorded_k_sweep():
     # the per-K expected ranges the verdict asked to record
     for m in ("yolov8n_640_int8_e2e", "yolov8n_640_int6_e2e",
