@@ -331,10 +331,26 @@ def cmd_serve(args):
     from alpha_yolo_quant_tpu.serving import BatchCoalescer
 
     cfg = _cfg(args)
-    graph, params = _graph_params(args, cfg)
-    max_a = _load_max_a(args)
-    model = build_quantized_model(graph, params, max_a, cfg)
-    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"],
+    if args.from_artifacts:
+        # production load path: rebuild the runnable model from the
+        # exported artifact tree (the reference's stage-8 story —
+        # QUANT_WEIGHTS/bias_scales/max_a), bit-identical to the
+        # originally built plan (quantize/loadq.py, tests/test_loadq.py)
+        from alpha_yolo_quant_tpu.quantize.loadq import (
+            dfl_weights_from_artifacts, model_from_artifacts,
+        )
+
+        model = model_from_artifacts(args.out, cfg)
+        dfl_w = dfl_weights_from_artifacts(args.out)
+    else:
+        if not args.max_a:
+            raise SystemExit("serve: --max-a is required unless "
+                             "--from-artifacts is given")
+        graph, params = _graph_params(args, cfg)
+        max_a = _load_max_a(args)
+        model = build_quantized_model(graph, params, max_a, cfg)
+        dfl_w = params["dfl"]["w"]
+    fn, _ = build_int_pipeline(model, dfl_w_float=dfl_w,
                                engine=args.engine)
     src = sys.stdin if args.input_list == "-" else open(args.input_list)
     with src:
@@ -531,7 +547,11 @@ def main(argv=None):
                         help="batch-coalescing inference over an image "
                              "list (JSONL detections out)")
     common(sp)
-    sp.add_argument("--max-a", required=True)
+    sp.add_argument("--max-a")
+    sp.add_argument("--from-artifacts", action="store_true",
+                    help="load the quantized model from --out's exported "
+                         "artifact tree (the stage-8 production load) "
+                         "instead of --weights/--max-a")
     sp.add_argument("--full-quant", action="store_true")
     sp.add_argument("--engine", default="auto")
     sp.add_argument("--input-list", required=True,

@@ -115,6 +115,31 @@ def test_serve_jsonl_over_image_list(art, tmp_path):
             assert len(d) == 6
 
 
+def test_serve_from_artifacts_matches_weights_path(art, tmp_path):
+    """`serve --from-artifacts` (the stage-8 production load: quantized
+    pickles + bias_scales + max_a, no float weights) must emit
+    byte-identical JSONL to the weights-path serve — loadq rebuilds a
+    bit-identical plan."""
+    from tests_synth import write_synthetic_coco
+
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    ma = os.path.join(art, "results", "max_a.txt")
+    cli.main(["quantize", "--out", art, "--weights", w, "--max-a", ma,
+              "--image-size", "64"])
+    img_dir, _ = write_synthetic_coco(tmp_path, n_images=3)
+    paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_w = str(tmp_path / "dets_w.jsonl")
+    out_a = str(tmp_path / "dets_a.jsonl")
+    base = ["--out", art, "--image-size", "64", "--input-list", str(lst),
+            "--max-batch", "4", "--max-wait-ms", "50"]
+    cli.main(["serve", *base, "--weights", w, "--max-a", ma,
+              "--output", out_w])
+    cli.main(["serve", *base, "--from-artifacts", "--output", out_a])
+    assert open(out_w).read() == open(out_a).read()
+
+
 def test_accept_flow_end_to_end(tmp_path):
     """`ayq accept` (VERDICT r3 #8): the one-command acceptance — prepare
     -> fp32 gate -> calibrate -> int gates -> K sweep -> report — runs
