@@ -154,6 +154,30 @@ def test_pipeline_level_coalescing_bitwise():
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(want_b[1]))
 
 
+def test_coalescer_composes_with_dp_mesh():
+    """Serving across a device mesh: BatchCoalescer's step can BE the
+    shard_map data-parallel step — coalesced requests are padded to
+    max_batch (divisible by the mesh), sharded over dp, and each
+    request's rows come back bitwise equal to the local run."""
+    from alpha_yolo_quant_tpu.parallel.mesh import (
+        data_parallel_step, make_mesh,
+    )
+
+    fn = _pipeline()
+    mesh = make_mesh(8)
+    step = data_parallel_step(fn, mesh)   # already jitted; max_batch=8
+    jfn = jax.jit(fn)
+    with BatchCoalescer(step, max_batch=8, max_wait_ms=30,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        reqs = [_req(3), _req(4), _req(1)]
+        futs = [co.submit(r) for r in reqs]
+        for r, f in zip(reqs, futs):
+            det, n_det = f.result(timeout=300)
+            want = jfn(r)
+            np.testing.assert_array_equal(det, np.asarray(want[0]))
+            np.testing.assert_array_equal(n_det, np.asarray(want[1]))
+
+
 def test_coalescer_rejects_bad_requests():
     fn = _pipeline()
     with BatchCoalescer(fn, max_batch=8, max_wait_ms=10,
