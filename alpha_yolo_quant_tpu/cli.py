@@ -370,6 +370,7 @@ def cmd_serve(args):
             for f in cf.as_completed(futs):
                 i, det = f.result()
                 results[i] = det
+        stats = co.snapshot()
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         for path, det in zip(paths, results):
@@ -383,7 +384,10 @@ def cmd_serve(args):
         if args.output:
             out.close()
     print(f"served {len(paths)} images"
-          + (f" -> {args.output}" if args.output else ""),
+          + (f" -> {args.output}" if args.output else "")
+          + f" | {stats['flushes']} steps, mean fill "
+          f"{stats['mean_fill']:.2f}, latency p50/p95 "
+          f"{stats['latency_ms_p50']:.1f}/{stats['latency_ms_p95']:.1f} ms",
           file=sys.stderr)
 
 

@@ -95,8 +95,32 @@ class BatchCoalescer:
         self._lock = threading.Condition()
         self._queue: List[Tuple[np.ndarray, Future, float]] = []
         self._closed = False
+        # observability: counters + a bounded per-request latency window
+        self._n_requests = 0
+        self._n_images = 0
+        self._n_flushes = 0
+        self._fill_sum = 0
+        self._latencies: List[float] = []
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def snapshot(self) -> dict:
+        """Serving stats since construction: request/image/flush counts,
+        mean step fill (real rows / max_batch), and p50/p95/p99 request
+        latency in ms over the last <=4096 completed requests."""
+        with self._lock:
+            lat = sorted(self._latencies)
+            n_req, n_img = self._n_requests, self._n_images
+            n_fl, fill = self._n_flushes, self._fill_sum
+        q = (lambda p: 1e3 * lat[min(len(lat) - 1,
+                                     int(p * len(lat)))]) if lat else \
+            (lambda p: float("nan"))
+        return {
+            "requests": n_req, "images": n_img, "flushes": n_fl,
+            "mean_fill": (fill / (n_fl * self.max_batch)) if n_fl else 0.0,
+            "latency_ms_p50": q(0.50), "latency_ms_p95": q(0.95),
+            "latency_ms_p99": q(0.99),
+        }
 
     def submit(self, images) -> Future:
         """Queue one request of ``(b, *image_shape)`` images,
@@ -170,6 +194,8 @@ class BatchCoalescer:
             raise
 
     def _execute(self, batch):
+        import time
+
         try:
             arrays = [img for img, _, _ in batch]
             sizes = [a.shape[0] for a in arrays]
@@ -182,11 +208,22 @@ class BatchCoalescer:
             out = self._step(x)
             out = jax.tree_util.tree_map(np.asarray, out)
             off = 0
-            for (_, fut, _), s in zip(batch, sizes):
+            done = time.monotonic()
+            lats = []
+            for (_, fut, t0), s in zip(batch, sizes):
                 part = jax.tree_util.tree_map(
                     lambda t, o=off, s=s: t[o:o + s], out)
                 off += s
+                lats.append(done - t0)
                 fut.set_result(part)
+            with self._lock:
+                self._n_requests += len(batch)
+                self._n_images += total
+                self._n_flushes += 1
+                self._fill_sum += total
+                self._latencies.extend(lats)
+                if len(self._latencies) > 4096:
+                    del self._latencies[:-4096]
         except Exception as e:  # propagate to every waiter
             for _, fut, _ in batch:
                 if not fut.done():

@@ -123,10 +123,19 @@ def test_coalescer_concurrent_submitters():
             t.start()
         for t in threads:
             t.join(timeout=300)
+        stats = co.snapshot()
     for i in range(len(reqs)):
         det, n_det = results[i]
         np.testing.assert_array_equal(det, want_cache[i][0])
         np.testing.assert_array_equal(n_det, want_cache[i][1])
+    # observability: every request and image accounted for, latency
+    # quantiles populated, mean fill in (0, 1]
+    assert stats["requests"] == len(reqs)
+    assert stats["images"] == sum(r.shape[0] for r in reqs)
+    assert stats["flushes"] >= 2          # 16 images through max_batch 8
+    assert 0 < stats["mean_fill"] <= 1.0
+    assert stats["latency_ms_p50"] > 0
+    assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
 
 
 def test_pipeline_level_coalescing_bitwise():
