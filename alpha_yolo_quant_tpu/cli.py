@@ -470,7 +470,8 @@ def cmd_bench(args):
     import bench
 
     bench.main(model=args.model, k=args.k, image_size=args.image_size,
-               engine=args.engine, batch=args.batch, iters=args.iters)
+               engine=args.engine, batch=args.batch, iters=args.iters,
+               check=args.check, coalesce=args.coalesce)
 
 
 def main(argv=None):
@@ -598,6 +599,10 @@ def main(argv=None):
                              "pallas", "fused", "packed"])
     sp.add_argument("--batch", type=int, default=128)
     sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--check", action="store_true",
+                    help="gate against the recorded envelope (bench.py)")
+    sp.add_argument("--coalesce", type=int, default=0,
+                    help="N coalesced requests of --batch images each")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
