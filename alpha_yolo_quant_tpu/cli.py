@@ -401,12 +401,22 @@ def cmd_accept(args):
     The first session with real yolov8n.pt + COCO is this single
     invocation; the flow is rehearsed end-to-end on a synthetic
     checkpoint + synthetic COCO in tests/test_cli.py."""
-    from argparse import Namespace
 
-    common = dict(model=args.model, image_size=args.image_size,
-                  coco_images=args.coco_images, coco_ann=args.coco_ann,
-                  limit=args.limit, batch_size=args.batch_size,
-                  conf_thres=args.conf_thres, prefetch=args.prefetch)
+    def run(argv):
+        # route through the REAL subparsers so every default/flag has
+        # one source of truth (a hand-built Namespace would silently
+        # drift when a subcommand grows a new argument)
+        ns = build_parser().parse_args(argv)
+        return ns.fn(ns)
+
+    base = ["--model", args.model, "--image-size", str(args.image_size)]
+    datac = (["--coco-images", args.coco_images,
+              "--coco-ann", args.coco_ann,
+              "--batch-size", str(args.batch_size)]
+             + (["--limit", str(args.limit)]
+                if args.limit is not None else []))
+    evalc = datac + ["--conf-thres", str(args.conf_thres)] \
+        + (["--prefetch"] if args.prefetch else [])
 
     def out_for(k):
         # reference artifact-dir naming: 8_nano / 6_nano / 4_nano
@@ -416,34 +426,31 @@ def cmd_accept(args):
             f"{k}_{'nano' if args.model == 'yolov8n' else 'small'}")
 
     print(f"== accept: prepare ({args.checkpoint or 'random init'}) ==")
-    cmd_prepare(Namespace(model=args.model, k=args.k,
-                          image_size=args.image_size, out=args.out,
-                          checkpoint=args.checkpoint))
+    run(["prepare"] + base + ["--k", str(args.k), "--out", args.out]
+        + (["--checkpoint", args.checkpoint] if args.checkpoint else []))
     weights = os.path.join(args.out, "results", "weights_batchnf.npz")
 
     print("== accept: gate 1 — fp32 BN-fused mAP ==")
-    g1 = cmd_eval_float(Namespace(k=args.k, out=args.out,
-                                  weights=weights, **common))
+    g1 = run(["eval-float"] + base
+             + ["--k", str(args.k), "--out", args.out,
+                "--weights", weights] + evalc)
 
     rows = []   # (label, res, out_dir)
     ks = [args.k] + [int(s) for s in
                      (args.k_sweep.split(",") if args.k_sweep else [])]
     for k in ks:
         out_k = out_for(k)
+        kc = ["--k", str(k), "--out", out_k, "--weights", weights]
         print(f"== accept: calibrate K={k} (mode={args.mode}) ==")
-        cmd_calibrate(Namespace(k=k, out=out_k, weights=weights,
-                                mode=args.mode, **common))
+        run(["calibrate"] + base + kc + ["--mode", args.mode] + datac)
         max_a = os.path.join(out_k, "results", "max_a.txt")
+        intc = (["eval-int8"] + base + kc
+                + ["--max-a", max_a, "--engine", args.engine] + evalc)
         print(f"== accept: gate 2 — int{k}, float NMS ==")
-        g2 = cmd_eval_int8(Namespace(k=k, out=out_k, weights=weights,
-                                     max_a=max_a, full_quant=False,
-                                     engine=args.engine, **common))
-        rows.append((f"int{k} float-NMS", g2, out_k))
+        rows.append((f"int{k} float-NMS", run(intc), out_k))
         print(f"== accept: gate 3 — int{k} full-quant, q_NMS ==")
-        g3 = cmd_eval_int8(Namespace(k=k, out=out_k, weights=weights,
-                                     max_a=max_a, full_quant=True,
-                                     engine=args.engine, **common))
-        rows.append((f"int{k} full-quant", g3, out_k))
+        rows.append((f"int{k} full-quant",
+                     run(intc + ["--full-quant"]), out_k))
 
     print("\n== acceptance report ==")
     print(f"{'config':<20}{'mAP50-95':>10}{'drop':>8}  verdict")
@@ -474,7 +481,7 @@ def cmd_bench(args):
                check=args.check, coalesce=args.coalesce)
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(prog="alpha_yolo_quant_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -605,9 +612,17 @@ def main(argv=None):
                     help="N coalesced requests of --batch images each")
     sp.set_defaults(fn=cmd_bench)
 
-    args = p.parse_args(argv)
-    return args.fn(args)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    ret = args.fn(args)
+    # subcommands may return rich objects (cmd_eval_* return EvalResult
+    # for cmd_accept's direct calls); only int returns are exit codes —
+    # anything else is success (sys.exit(EvalResult) would exit 1).
+    return ret if isinstance(ret, int) else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -57,9 +57,16 @@ def model_from_artifacts(out_dir: str, cfg: QuantConfig,
 
 
 def dfl_weights_from_artifacts(out_dir: str) -> np.ndarray:
-    """Float DFL weights for the partial-quant decode."""
+    """Float DFL weights for the partial-quant decode.
+
+    Full-quant trees don't write weights_pickle/dfl.pickle (export_all
+    only emits it when the head stays float); the checkpoint dfl is the
+    frozen arange(16) (reference stage_2.py:471-475), so fall back to it
+    — the full-quant decode never reads this value anyway."""
     p = os.path.join(out_dir, "weights_pickle", "dfl.pickle")
-    return np.asarray(load_gz_pickle(p), np.float32)
+    if os.path.exists(p):
+        return np.asarray(load_gz_pickle(p), np.float32)
+    return np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)
 
 
 def model_from_packed_state_dict(out_dir: str, cfg: QuantConfig,
@@ -85,8 +92,19 @@ def model_from_packed_state_dict(out_dir: str, cfg: QuantConfig,
     if cfg.full_quant:
         # full-quant packed dicts carry the QUANTIZED dfl (see
         # export.pickles.packed_state_dict); its scale lives in
-        # bias_scales/dfl_scale.pickle (stage_8_torch_full_quant.py:1233)
-        dfl_override = (np.int64(sd["dfl.weight"]),
+        # bias_scales/dfl_scale.pickle (stage_8_torch_full_quant.py:1233).
+        # Guard against loading a PARTIAL tree under a full-quant cfg:
+        # its dfl.weight is the float arange and there is no dfl scale —
+        # int-truncating it would silently build a wrong head plan.
+        dfl_w = np.asarray(sd["dfl.weight"])
+        if "dfl" not in scales or not np.array_equal(dfl_w,
+                                                     np.round(dfl_w)):
+            raise FileNotFoundError(
+                f"{out_dir}: full_quant=True but the packed state dict /"
+                " bias_scales tree was exported partial-quant (no"
+                " quantized dfl + dfl_scale.pickle); re-export with"
+                " --full-quant or load with full_quant=False")
+        dfl_override = (np.int64(dfl_w),
                         float(np.asarray(scales["dfl"]).reshape(-1)[0]))
     return build_quantized_model(graph, params, max_a, cfg,
                                  weights_override=override,

@@ -999,24 +999,18 @@ def build_int_pipeline(model: QuantizedModel, dfl_w_float=None,
                               per_image_amax=options.per_image_amax)
 
     if coalesce_requests is not None:
-        import jax
-
         n_req = int(coalesce_requests)
 
         def fn(*requests):
+            from alpha_yolo_quant_tpu.serving import split_by_sizes
+
             if len(requests) != n_req:
                 raise ValueError(f"expected {n_req} requests, "
                                  f"got {len(requests)}")
             sizes = [r.shape[0] for r in requests]
             x_q = jnp.concatenate([_quant(r) for r in requests], 0)
             res = _quantized_run(x_q, sum(sizes))
-            parts = []
-            off = 0
-            for s in sizes:
-                parts.append(jax.tree_util.tree_map(
-                    lambda t, o=off, s=s: t[o:o + s], res))
-                off += s
-            return tuple(parts)
+            return split_by_sizes(res, sizes)
     else:
         def fn(images):
             return _quantized_run(_quant(images), images.shape[0])

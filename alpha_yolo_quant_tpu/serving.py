@@ -40,6 +40,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def split_by_sizes(tree, sizes: Sequence[int]) -> tuple:
+    """Split every leaf of ``tree`` along batch dim 0 into consecutive
+    row blocks of ``sizes`` — the request seam's one slicing rule
+    (used by :func:`coalesced_fn`, :class:`BatchCoalescer` and the
+    pipeline-level ``coalesce_requests`` seam)."""
+    parts, off = [], 0
+    for s in sizes:
+        parts.append(jax.tree_util.tree_map(
+            lambda t, o=off, s=s: t[o:o + s], tree))
+        off += s
+    return tuple(parts)
+
+
 def coalesced_fn(fn, n_requests: int = 2):
     """Wrap a batched pipeline ``fn`` as one step over ``n_requests``
     equal-rank requests: concatenates along the batch, runs ``fn``
@@ -56,13 +69,7 @@ def coalesced_fn(fn, n_requests: int = 2):
                              f"got {len(requests)}")
         sizes = [r.shape[0] for r in requests]
         out = fn(jnp.concatenate(requests, axis=0))
-        parts = []
-        off = 0
-        for s in sizes:
-            parts.append(jax.tree_util.tree_map(
-                lambda t, o=off, s=s: t[o:o + s], out))
-            off += s
-        return tuple(parts)
+        return split_by_sizes(out, sizes)
 
     return step
 
@@ -207,13 +214,10 @@ class BatchCoalescer:
                                  + self._image_shape, self._dtype)], 0)
             out = self._step(x)
             out = jax.tree_util.tree_map(np.asarray, out)
-            off = 0
             done = time.monotonic()
             lats = []
-            for (_, fut, t0), s in zip(batch, sizes):
-                part = jax.tree_util.tree_map(
-                    lambda t, o=off, s=s: t[o:o + s], out)
-                off += s
+            for (_, fut, t0), part in zip(batch,
+                                          split_by_sizes(out, sizes)):
                 lats.append(done - t0)
                 fut.set_result(part)
             with self._lock:
@@ -224,10 +228,15 @@ class BatchCoalescer:
                 self._latencies.extend(lats)
                 if len(self._latencies) > 4096:
                     del self._latencies[:-4096]
-        except Exception as e:  # propagate to every waiter
+        except BaseException as e:  # propagate to every waiter
             for _, fut, _ in batch:
                 if not fut.done():
                     fut.set_exception(e)
+            if not isinstance(e, Exception):
+                # worker-fatal (SystemExit & co.): re-raise so _run's
+                # handler also fails still-queued futures and closes —
+                # otherwise in-flight submitters would hang forever
+                raise
 
     def close(self):
         """Flush anything queued, then stop the worker."""

@@ -140,6 +140,38 @@ def test_serve_from_artifacts_matches_weights_path(art, tmp_path):
     assert open(out_w).read() == open(out_a).read()
 
 
+def test_serve_from_artifacts_full_quant(art, tmp_path):
+    """Full-quant trees write no weights_pickle/dfl.pickle (the head is
+    quantized) — serve --from-artifacts --full-quant must still load and
+    match the weights-path full-quant serve byte-for-byte (regression:
+    dfl_weights_from_artifacts used to require the float pickle)."""
+    import shutil
+
+    from tests_synth import write_synthetic_coco
+
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    ma = os.path.join(art, "results", "max_a.txt")
+    out = str(tmp_path / "8_nano_fq")
+    cli.main(["quantize", "--out", out, "--weights", w, "--max-a", ma,
+              "--image-size", "64", "--full-quant"])
+    assert not os.path.exists(os.path.join(out, "weights_pickle",
+                                           "dfl.pickle"))
+    shutil.copy(ma, os.path.join(out, "results", "max_a.txt"))
+    img_dir, _ = write_synthetic_coco(tmp_path, n_images=3)
+    paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_w = str(tmp_path / "dets_w.jsonl")
+    out_a = str(tmp_path / "dets_a.jsonl")
+    base = ["--out", out, "--image-size", "64", "--full-quant",
+            "--input-list", str(lst), "--max-batch", "4",
+            "--max-wait-ms", "50"]
+    cli.main(["serve", *base, "--weights", w, "--max-a", ma,
+              "--output", out_w])
+    cli.main(["serve", *base, "--from-artifacts", "--output", out_a])
+    assert open(out_w).read() == open(out_a).read()
+
+
 def test_accept_flow_end_to_end(tmp_path):
     """`ayq accept` (VERDICT r3 #8): the one-command acceptance — prepare
     -> fp32 gate -> calibrate -> int gates -> K sweep -> report — runs

@@ -126,6 +126,46 @@ def test_full_quant_packed_roundtrip_decode(tmp_path):
         np.testing.assert_array_equal(np.asarray(det_l), np.asarray(det_b))
 
 
+def test_full_quant_load_guards_partial_tree(tmp_path):
+    """Loading a PARTIAL-quant export under a full-quant cfg must fail
+    loudly: the packed dict's dfl.weight is the float arange and there
+    is no bias_scales/dfl_scale.pickle — int-truncating it would build a
+    silently wrong head plan. Also: full-quant trees carry no float
+    dfl.pickle, so dfl_weights_from_artifacts falls back to the frozen
+    arange(16) instead of crashing (the serve --from-artifacts path)."""
+    from alpha_yolo_quant_tpu.quantize.loadq import (
+        dfl_weights_from_artifacts, model_from_packed_state_dict,
+    )
+
+    cfg = QuantConfig(model="yolov8n", k=8, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=4)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max")
+    built = build_quantized_model(graph, params, max_a, cfg)
+    out = str(tmp_path / "8_nano")
+    env = golden_forward(built, RNG.uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32))
+    export_all(built, env, params, out, warn=lambda *a: None)
+
+    cfg_fq = QuantConfig(model="yolov8n", k=8, image_size=64,
+                         full_quant=True)
+    with pytest.raises(FileNotFoundError, match="partial-quant"):
+        model_from_packed_state_dict(out, cfg_fq)
+
+    # full-quant tree: no dfl.pickle, fallback arange
+    built_fq = build_quantized_model(graph, params, max_a, cfg_fq)
+    out_fq = str(tmp_path / "8_nano_fq")
+    env_fq = golden_forward(built_fq, RNG.uniform(0, 1, (1, 3, 64, 64))
+                            .astype(np.float32))
+    export_all(built_fq, env_fq, params, out_fq, warn=lambda *a: None)
+    assert not os.path.exists(os.path.join(out_fq, "weights_pickle",
+                                           "dfl.pickle"))
+    np.testing.assert_array_equal(
+        dfl_weights_from_artifacts(out_fq).reshape(-1),
+        np.arange(16, dtype=np.float32))
+
+
 @pytest.mark.parametrize("k", [4, 6])
 def test_bitwidth_sweep_roundtrip(tmp_path, k):
     """Config #4: calibrate -> quantize -> export -> reload at K=4/6 stays

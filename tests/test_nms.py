@@ -294,8 +294,8 @@ def test_q_nms_detections_unchanged_by_int_key_sort():
     orig = nms_mod._select_candidates
     try:
         nms_mod._select_candidates = (
-            lambda pr, mx, ct, pk=None, int_scores=False:
-            orig(pr, mx, ct, pk, int_scores=False))
+            lambda pr, mx, ct, pk=None, int_scores=False, **kw:
+            orig(pr, mx, ct, pk, int_scores=False, **kw))
         det_b, n_b = non_max_suppression(pred, p)
     finally:
         nms_mod._select_candidates = orig
