@@ -152,6 +152,26 @@ def cmd_quantize(args):
     print(f"quantized artifacts -> {args.out}")
 
 
+def _dp_step(fn, dp, batch):
+    """Wrap a per-batch pipeline as a batch-data-parallel shard_map step
+    over the first ``dp`` local devices (parallel.mesh.data_parallel_step
+    — params replicate, the batch axis shards over ICI; bitwise equal to
+    the unsharded jit, tests/test_parallel.py). ``batch`` is the global
+    batch every call will carry; shard_map needs it divisible by dp."""
+    import jax
+
+    from alpha_yolo_quant_tpu.parallel.mesh import (
+        data_parallel_step, make_mesh,
+    )
+
+    n_dev = len(jax.devices())
+    if dp > n_dev:
+        raise SystemExit(f"--dp {dp}: only {n_dev} devices visible")
+    if batch % dp:
+        raise SystemExit(f"--dp {dp} must divide the batch size {batch}")
+    return data_parallel_step(fn, make_mesh(dp))
+
+
 def _eval_common(args, step, comment, stage, csv_tag):
     from alpha_yolo_quant_tpu.data.coco import CocoValDataset
     from alpha_yolo_quant_tpu.eval.harness import evaluate
@@ -192,13 +212,14 @@ def cmd_eval_float(args):
     cfg = _cfg(args)
     graph, params = _graph_params(args, cfg)
 
-    @jax.jit
-    def step(images):
+    def fn(images):
         outs, _ = forward_float(graph, params, images)
         preds = decode_float(outs, params["dfl"]["w"])
         return non_max_suppression(
             preds, NmsParams(conf_thres=args.conf_thres, pre_topk=1000))
 
+    step = (_dp_step(fn, args.dp, args.batch_size) if args.dp
+            else jax.jit(fn))
     return _eval_common(args, step, "fp32 BN-fused", 4, "orig")
 
 
@@ -218,13 +239,16 @@ def cmd_eval_int8(args):
     # at the lane-optimal width (B=48/64 natively pick pathological
     # fusions — scripts/r5_pads.log; bit-exact, tested). yolov8s has no
     # mid-batch pathology and padding hurts (scripts/r5_spad.log).
-    pad = 128 if (cfg.model == "yolov8n"
-                  and 32 < args.batch_size < 128) else None
+    # Under --dp each device sees batch/dp rows — the pad decision
+    # follows the PER-DEVICE batch the conv stack actually runs at.
+    per_dev = args.batch_size // args.dp if args.dp else args.batch_size
+    pad = 128 if (cfg.model == "yolov8n" and 32 < per_dev < 128) else None
     fn, _ = build_int_pipeline(
         model, dfl_w_float=params["dfl"]["w"],
         nms_params=eval_nms_params(model, args.conf_thres),
         engine=args.engine, pad_batch_to=pad)
-    step = jax.jit(fn)
+    step = (_dp_step(fn, args.dp, args.batch_size) if args.dp
+            else jax.jit(fn))
     return _eval_common(args, step,
                         f"int{cfg.k}" + (" full-quant q_NMS"
                                          if cfg.full_quant
@@ -352,6 +376,11 @@ def cmd_serve(args):
         dfl_w = params["dfl"]["w"]
     fn, _ = build_int_pipeline(model, dfl_w_float=dfl_w,
                                engine=args.engine)
+    if args.dp:
+        # shard each coalesced max-batch step over local devices; the
+        # coalescer composes with the shard_map dp step unchanged
+        # (tests/test_serving.py::test_coalescer_composes_with_dp_mesh)
+        fn = _dp_step(fn, args.dp, args.max_batch)
     src = sys.stdin if args.input_list == "-" else open(args.input_list)
     with src:
         paths = [ln.strip() for ln in src if ln.strip()]
@@ -528,6 +557,10 @@ def build_parser():
         sp.add_argument("--conf-thres", type=float, default=0.001)
         sp.add_argument("--prefetch", action="store_true",
                         help="async host decode + device staging")
+        sp.add_argument("--dp", type=int, default=0,
+                        help="shard each batch over N local devices "
+                             "(shard_map data parallelism; N must "
+                             "divide --batch-size)")
         if name == "eval-int8":
             sp.add_argument("--max-a", required=True)
             sp.add_argument("--full-quant", action="store_true")
@@ -573,6 +606,9 @@ def build_parser():
     sp.add_argument("--max-wait-ms", type=float, default=5.0)
     sp.add_argument("--decoders", type=int, default=8,
                     help="host image-decode threads feeding the batcher")
+    sp.add_argument("--dp", type=int, default=0,
+                    help="shard each coalesced step over N local "
+                         "devices (must divide --max-batch)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("accept",

@@ -76,6 +76,29 @@ def test_eval_int8_on_synthetic_coco(art, tmp_path):
                                        "runs.png"))
 
 
+def test_eval_int8_dp_matches_single_device(art, tmp_path):
+    """--dp shards each eval batch over the (virtual) device mesh via the
+    shard_map serving step; the mAP must match the single-device run (the
+    detection boxes agree to f32 LSB — tests/test_parallel.py)."""
+    from tests_synth import write_synthetic_coco
+
+    img_dir, ann = write_synthetic_coco(tmp_path, n_images=4)
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    ma = os.path.join(art, "results", "max_a.txt")
+    argv = ["eval-int8", "--out", art, "--weights", w, "--max-a", ma,
+            "--image-size", "64", "--coco-images", img_dir,
+            "--coco-ann", ann, "--batch-size", "2", "--limit", "4"]
+
+    def run(extra):
+        ns = cli.build_parser().parse_args(argv + extra)
+        return ns.fn(ns)
+
+    res = run([])
+    res_dp = run(["--dp", "2"])
+    assert res_dp.n_images == res.n_images
+    assert abs(res_dp.map50_95 - res.map50_95) < 1e-9
+
+
 def test_eval_float_on_synthetic_coco(art, tmp_path):
     from tests_synth import write_synthetic_coco
 

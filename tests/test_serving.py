@@ -10,6 +10,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -185,6 +186,38 @@ def test_coalescer_composes_with_dp_mesh():
             want = jfn(r)
             np.testing.assert_array_equal(det, np.asarray(want[0]))
             np.testing.assert_array_equal(n_det, np.asarray(want[1]))
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_coalescer_worker_death_fails_futures():
+    """A BaseException from the step (SystemExit & co.) must resolve the
+    in-flight futures with that exception and close the coalescer —
+    never strand a submitter in result() (regression: _execute used to
+    catch only Exception, leaving the popped batch's futures pending)."""
+
+    def bad(x):
+        raise SystemExit("step died")
+
+    co = BatchCoalescer(bad, max_batch=4, max_wait_ms=10,
+                        image_shape=(3, 8, 8))
+    fut = co.submit(np.zeros((1, 3, 8, 8), np.float32))
+    try:
+        fut.result(timeout=60)
+        assert False, "expected the step's SystemExit"
+    except SystemExit:
+        pass
+    # the worker is dead: new submits must be refused (racing with the
+    # _run handler that flips _closed, so poll briefly)
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        try:
+            co.submit(np.zeros((1, 3, 8, 8), np.float32))
+            time.sleep(0.02)
+        except RuntimeError:
+            break
+    else:
+        assert False, "coalescer still accepting after worker death"
 
 
 def test_coalescer_rejects_bad_requests():
