@@ -107,7 +107,11 @@ def cmd_calibrate(args):
 
     cfg = _cfg(args)
     graph, params = _graph_params(args, cfg)
-    records = collect_stats(graph, params, _calib_batches(args, cfg))
+    if args.dp and args.batch_size % args.dp:
+        raise SystemExit(f"--dp {args.dp} must divide the batch size "
+                         f"{args.batch_size}")
+    records = collect_stats(graph, params, _calib_batches(args, cfg),
+                            dp=args.dp or None)
     samples = None
     if cfg.calib_mode.lower() == "min_mae":
         taps = [c.tap for c in graph.convs()]
@@ -445,7 +449,8 @@ def cmd_accept(args):
              + (["--limit", str(args.limit)]
                 if args.limit is not None else []))
     evalc = datac + ["--conf-thres", str(args.conf_thres)] \
-        + (["--prefetch"] if args.prefetch else [])
+        + (["--prefetch"] if args.prefetch else []) \
+        + (["--dp", str(args.dp)] if args.dp else [])
 
     def out_for(k):
         # reference artifact-dir naming: 8_nano / 6_nano / 4_nano
@@ -471,7 +476,8 @@ def cmd_accept(args):
         out_k = out_for(k)
         kc = ["--k", str(k), "--out", out_k, "--weights", weights]
         print(f"== accept: calibrate K={k} (mode={args.mode}) ==")
-        run(["calibrate"] + base + kc + ["--mode", args.mode] + datac)
+        run(["calibrate"] + base + kc + ["--mode", args.mode] + datac
+            + (["--dp", str(args.dp)] if args.dp else []))
         max_a = os.path.join(out_k, "results", "max_a.txt")
         intc = (["eval-int8"] + base + kc
                 + ["--max-a", max_a, "--engine", args.engine] + evalc)
@@ -537,6 +543,10 @@ def build_parser():
     sp.add_argument("--coco-ann")
     sp.add_argument("--limit", type=int, default=None)
     sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--dp", type=int, default=0,
+                    help="shard calibration batches over N local "
+                         "devices (per-image maxima gather back, so "
+                         "every --mode reduction is unchanged)")
     sp.set_defaults(fn=cmd_calibrate)
 
     sp = sub.add_parser("quantize", help="integer transform + full export")
@@ -633,6 +643,9 @@ def build_parser():
                          "own artifact dir + gates)")
     sp.add_argument("--drop-budget", type=float, default=0.5,
                     help="max allowed mAP50-95 drop vs fp32 (BASELINE)")
+    sp.add_argument("--dp", type=int, default=0,
+                    help="shard the eval gates' batches over N local "
+                         "devices (forwarded to eval-float/eval-int8)")
     sp.set_defaults(fn=cmd_accept)
 
     sp = sub.add_parser("bench", help="single-chip throughput")

@@ -26,17 +26,31 @@ from alpha_yolo_quant_tpu.models.graph import Graph
 
 def collect_stats(graph: Graph, params: Dict,
                   batches: Iterable[np.ndarray],
-                  ) -> Dict[str, List[float]]:
-    """Run calibration batches; returns tap -> list of per-image maxima."""
+                  dp: Optional[int] = None) -> Dict[str, List[float]]:
+    """Run calibration batches; returns tap -> list of per-image maxima.
 
-    @jax.jit
-    def step(params, images):
+    ``dp`` shards each batch over the first N local devices (shard_map;
+    params replicate). Per-IMAGE maxima come back gathered, so every
+    stage-5 reduction mode (mode/median/n=…) sees the same list as the
+    single-device run — unlike the global-max all-reduce of
+    parallel.mesh.sharded_forward_fn, which only serves ``max``."""
+
+    def tap_fn(images):
         _, taps = forward_float(graph, params, images, collect_taps=True)
         return taps
 
+    if dp:
+        from alpha_yolo_quant_tpu.parallel.mesh import (
+            data_parallel_step, make_mesh,
+        )
+
+        step = data_parallel_step(tap_fn, make_mesh(dp))
+    else:
+        step = jax.jit(tap_fn)
+
     records: Dict[str, List[float]] = {}
     for batch in batches:
-        taps = jax.device_get(step(params, batch))
+        taps = jax.device_get(step(batch))
         for name, v in taps.items():
             records.setdefault(name, []).extend(np.asarray(v).tolist())
     return records

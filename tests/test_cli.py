@@ -99,6 +99,26 @@ def test_eval_int8_dp_matches_single_device(art, tmp_path):
     assert abs(res_dp.map50_95 - res.map50_95) < 1e-9
 
 
+def test_calibrate_dp_matches_single_device(art, tmp_path):
+    """calibrate --dp gathers per-image tap maxima from the mesh; the
+    reduced max_a must match the single-device run to f32 tolerance
+    (sharded and unsharded programs fuse differently at the LSB)."""
+    from alpha_yolo_quant_tpu.utils.io import read_max_a
+
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    outs = []
+    for extra in ([], ["--dp", "2"]):
+        out = str(tmp_path / f"cal{'_dp' if extra else ''}")
+        cli.main(["calibrate", "--out", out, "--weights", w,
+                  "--image-size", "64", "--batch-size", "2",
+                  "--limit", "4"] + extra)
+        outs.append(read_max_a(os.path.join(out, "results", "max_a.txt")))
+    a, b = outs
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-6, err_msg=k)
+
+
 def test_eval_float_on_synthetic_coco(art, tmp_path):
     from tests_synth import write_synthetic_coco
 
