@@ -49,7 +49,12 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
     tensor — stage_4.py:476, utils/coco.py:152-175).
 
     prefetch: decode/stage the next batches on background threads while the
-    device computes (data.prefetch).
+    device computes (data.prefetch), AND pipeline the result fetch — the
+    next batch dispatches before the previous batch's detections are
+    fetched and turned into metric rows, so host metric work overlaps
+    device compute (JAX dispatch is async). In this mode images_per_s
+    counts only the residual blocked-on-device time and wall is the
+    meaningful figure.
     """
     ann_rows: List[list] = []
     det_rows: List[list] = []
@@ -62,9 +67,11 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
         batch_iter = prefetch_batches(ds, batch_size, image_size)
     else:
         batch_iter = batches(ds, batch_size, image_size)
-    for imgs, samples in batch_iter:
+
+    def drain(out, samples):
+        nonlocal n_img, t_dev
         t0 = time.perf_counter()
-        det, n_det = jax.device_get(step(imgs))
+        det, n_det = jax.device_get(out)
         t_dev += time.perf_counter() - t0
         for b, s in enumerate(samples):
             if s is None:
@@ -77,6 +84,18 @@ def evaluate(step: Callable, ds: CocoValDataset, batch_size: int = 16,
                                            frame=float(image_size)))
         if progress:
             print(f"\r{n_img}/{len(ds)}", end="", flush=True)
+
+    pending = None
+    for imgs, samples in batch_iter:
+        out = step(imgs)            # async dispatch
+        if prefetch:
+            if pending is not None:
+                drain(*pending)
+            pending = (out, samples)
+        else:
+            drain(out, samples)
+    if pending is not None:
+        drain(*pending)
     if progress:
         print()
     ann, det_arr = to_metric_arrays(ann_rows, det_rows)
