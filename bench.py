@@ -19,8 +19,9 @@ WARMUP = 3
 ITERS = 10
 
 # Recorded result envelopes on v5e-1 (observed min/max across official
-# runs + probe re-runs, rounds 3-5 internal / driver rounds 1-3 —
-# STATUS.md "Measurement truths", scripts/README.md "Round 5 findings").
+# runs + probe re-runs, internal rounds 3-6 / driver rounds 1-4 —
+# STATUS.md "Measurement truths", scripts/README.md "Round 5 findings",
+# r6_benchcheck*.log + r6_kcheck.log for the round-6 re-verification).
 # Run-to-run spread of a slope-timed pair is ~2.3%; --check allows
 # 2 spreads beyond the observed band on EACH side. Below: regression.
 # Above: measurement-harness suspicion — phantom speedups are how trap
@@ -29,13 +30,13 @@ ITERS = 10
 SPREAD = 0.023
 ENVELOPES = {
     "yolov8n_640_int8_e2e": (3988.0, 4116.0),
-    "yolov8n_640_int6_e2e": (4364.0, 4364.0),
-    "yolov8n_640_int4_e2e": (4004.0, 4033.0),
-    "yolov8s_640_int8_e2e": (1802.0, 1819.0),
+    "yolov8n_640_int6_e2e": (4364.0, 4387.2),
+    "yolov8n_640_int4_e2e": (4004.0, 4088.5),
+    "yolov8s_640_int8_e2e": (1802.0, 1821.4),
     "yolov8n_320_int8_e2e": (16151.0, 16151.0),
     # the robust B=64 protocol: two coalesced 64-image requests per
     # step (--batch 64 --coalesce 2; scripts/r6_b64co2.log)
-    "yolov8n_640_int8_e2e_co2x64": (3680.6, 3680.6),
+    "yolov8n_640_int8_e2e_co2x64": (3675.2, 3687.9),
 }
 
 
