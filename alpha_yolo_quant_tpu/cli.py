@@ -435,6 +435,12 @@ def cmd_accept(args):
     invocation; the flow is rehearsed end-to-end on a synthetic
     checkpoint + synthetic COCO in tests/test_cli.py."""
 
+    if args.dp and args.batch_size % args.dp:
+        # fail before the prepare stage does its checkpoint-load work;
+        # _dp_step would only catch this at gate 1
+        raise SystemExit(f"--dp {args.dp} must divide the batch size "
+                         f"{args.batch_size}")
+
     def run(argv):
         # route through the REAL subparsers so every default/flag has
         # one source of truth (a hand-built Namespace would silently
@@ -644,8 +650,9 @@ def build_parser():
     sp.add_argument("--drop-budget", type=float, default=0.5,
                     help="max allowed mAP50-95 drop vs fp32 (BASELINE)")
     sp.add_argument("--dp", type=int, default=0,
-                    help="shard the eval gates' batches over N local "
-                         "devices (forwarded to eval-float/eval-int8)")
+                    help="shard every gate's batches over N local "
+                         "devices (forwarded to calibrate, eval-float "
+                         "and eval-int8)")
     sp.set_defaults(fn=cmd_accept)
 
     sp = sub.add_parser("bench", help="single-chip throughput")

@@ -141,6 +141,17 @@ def export_all(model: QuantizedModel, env: Dict[str, np.ndarray],
         # 'dfl.weight' array as-is (stage_6.py:618 save_in_file)
         dump_gz_pickle(np.asarray(params["dfl"]["w"], np.float32),
                        os.path.join(out_dir, "weights_pickle", "dfl.pickle"))
+    # re-exporting one head mode over a tree that held the other must not
+    # leave the other mode's dfl artifacts behind: loadq's full-vs-partial
+    # detection keys on exactly these files, and a stale dfl_scale.pickle
+    # under a fresh partial packing would build a silently wrong head plan
+    for rel in (("weights_pickle/dfl_conv.pickle",
+                 "weights_pickle/dfl_bias.pickle",
+                 "bias_scales/dfl_scale.pickle") if not cfg.full_quant
+                else ("weights_pickle/dfl.pickle",)):
+        p = os.path.join(out_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
 
     for idx, node in enumerate(g.nodes):
         if isinstance(node, ConvNode):

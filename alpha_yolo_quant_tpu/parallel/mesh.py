@@ -30,6 +30,9 @@ def initialize_multihost(coordinator: Optional[str] = None,
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"requested a {n_devices}-device mesh but "
+                             f"only {len(devices)} devices are visible")
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 

@@ -38,11 +38,7 @@ def model_from_artifacts(out_dir: str, cfg: QuantConfig,
         b_q = load_gz_pickle(os.path.join(wp, f"{node.name}_bias.pickle"))
         override[node.name] = (w_q, b_q, scales[node.name])
 
-    dfl_path = os.path.join(wp, "dfl.pickle")
-    dfl_w = (np.asarray(load_gz_pickle(dfl_path))   # dtype-native (f32)
-             if os.path.exists(dfl_path)
-             else np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1))
-    params = {"dfl": {"w": dfl_w}}
+    params = {"dfl": {"w": dfl_weights_from_artifacts(out_dir)}}
     dfl_override = None
     dfl_q_path = os.path.join(wp, "dfl_conv.pickle")
     if cfg.full_quant and os.path.exists(dfl_q_path) and "dfl" in scales:

@@ -166,6 +166,52 @@ def test_full_quant_load_guards_partial_tree(tmp_path):
         np.arange(16, dtype=np.float32))
 
 
+def test_reexport_partial_over_full_quant_tree(tmp_path):
+    """Re-exporting PARTIAL into a dir that held a full-quant tree must
+    remove the stale full-quant dfl artifacts (dfl_conv/dfl_bias/
+    dfl_scale): a stale dfl_scale.pickle next to a fresh partial packing
+    would defeat loadq's partial-tree guard and build a silently wrong
+    head plan (and vice versa for full over partial)."""
+    from alpha_yolo_quant_tpu.quantize.loadq import (
+        model_from_packed_state_dict,
+    )
+
+    graph8 = build_yolov8_graph(QuantConfig(model="yolov8n", k=8,
+                                            image_size=64))
+    params = init_params(graph8, seed=4)
+    calib = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph8, params, [calib]), "max")
+    x = RNG.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    out = str(tmp_path / "8_nano")
+
+    cfg_fq = QuantConfig(model="yolov8n", k=8, image_size=64,
+                         full_quant=True)
+    built_fq = build_quantized_model(graph8, params, max_a, cfg_fq)
+    export_all(built_fq, golden_forward(built_fq, x), params, out,
+               warn=lambda *a: None)
+    assert os.path.exists(os.path.join(out, "bias_scales",
+                                       "dfl_scale.pickle"))
+
+    cfg = QuantConfig(model="yolov8n", k=8, image_size=64)
+    built = build_quantized_model(graph8, params, max_a, cfg)
+    export_all(built, golden_forward(built, x), params, out,
+               warn=lambda *a: None)
+    for stale in ("bias_scales/dfl_scale.pickle",
+                  "weights_pickle/dfl_conv.pickle",
+                  "weights_pickle/dfl_bias.pickle"):
+        assert not os.path.exists(os.path.join(out, stale)), stale
+    # the tree now loads as partial; a full-quant load is rejected
+    model_from_artifacts(out, cfg)
+    with pytest.raises(FileNotFoundError, match="partial-quant"):
+        model_from_packed_state_dict(out, cfg_fq)
+    # and full-quant re-export over the partial tree drops dfl.pickle
+    export_all(built_fq, golden_forward(built_fq, x), params, out,
+               warn=lambda *a: None)
+    assert not os.path.exists(os.path.join(out, "weights_pickle",
+                                           "dfl.pickle"))
+    model_from_packed_state_dict(out, cfg_fq)
+
+
 @pytest.mark.parametrize("k", [4, 6])
 def test_bitwidth_sweep_roundtrip(tmp_path, k):
     """Config #4: calibrate -> quantize -> export -> reload at K=4/6 stays
