@@ -250,7 +250,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                 keep_env: bool = False,
                 engine: str = "xla",
                 head_requant: bool = False,
-                options: "EngineOptions" = None) -> Dict[str, jnp.ndarray]:
+                options: "EngineOptions" = None,
+                node_range=None, env_in=None,
+                out_edges=None) -> Dict[str, jnp.ndarray]:
     """Run the integer graph. Returns the head-output edges (raw int32
     NCHW accumulators for the six head convs) plus, with keep_env, every
     edge and the pre-SiLU requantized accumulators under
@@ -280,9 +282,22 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
     All engines produce bit-identical results (tested).
 
     options: per-pipeline EngineOptions; None inherits the deprecated
-    module globals (see EngineOptions)."""
+    module globals (see EngineOptions).
+
+    Segmented execution (the pipeline-parallel seam, parallel/pipeline.py):
+    pass node_range=(lo, hi) with env_in (the stage's live input edges —
+    x_q is ignored) and out_edges (edge names to return). The SAME node
+    loop runs over the slice, so a chain of segments is bit-identical to
+    the whole-graph call by construction; head_requant/outputs collection
+    are skipped (the caller owns the seams)."""
     if options is None:
         options = EngineOptions()
+    segmented = node_range is not None
+    if segmented or env_in is not None or out_edges is not None:
+        assert segmented and env_in is not None and out_edges is not None, \
+            "segmented execution needs node_range + env_in + out_edges"
+        assert engine in ("xla", "s8", "auto") and not keep_env, \
+            "segments run the plain NCHW engines (no keep_env/nhwc/pallas)"
     cfg = model.cfg
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env
@@ -366,7 +381,8 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                         and not keep_env) else {})
     merge_skip: set = set()
 
-    env: Dict[str, jnp.ndarray] = {model.graph.input_edge: x_q}
+    env: Dict[str, jnp.ndarray] = (
+        dict(env_in) if segmented else {model.graph.input_edge: x_q})
     slab_x = None
     if use_packed:
         from alpha_yolo_quant_tpu.runtime import slabforward as _sf
@@ -377,7 +393,9 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         slab_x = _sf.SlabExec(sp, model, plan, env, qmax=qmax,
                               sig_scale=sig_scale_f, sig_qmax=sig_qmax_f)
 
-    for idx, node in enumerate(model.graph.nodes):
+    lo, hi = node_range if segmented else (0, len(model.graph.nodes))
+    for idx in range(lo, hi):
+        node = model.graph.nodes[idx]
         if slab_x is not None:
             pre = slab_x.sp.pre_ops.get(idx)
             if pre:
@@ -546,6 +564,8 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
             env[node.dst] = upsample_nearest(env[node.src], node.factor,
                                              nhwc=nhwc)
 
+    if segmented:
+        return {e: env[e] for e in out_edges}
     if slab_x is not None:
         tail = slab_x.sp.pre_ops.get(len(model.graph.nodes))
         if tail:
