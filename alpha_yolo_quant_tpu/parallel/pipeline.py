@@ -306,6 +306,14 @@ def pipeline_forward(model, plan, spec: PipelineSpec, mesh: Mesh,
     m_total = M * (mesh.shape[dp_axis] if dp_axis else 1)
 
     def fn(images):
+        want = mb * m_total
+        if images.shape[0] != want:
+            # dynamic_slice clamps out-of-range starts, which would
+            # silently duplicate/drop images — fail loudly instead
+            raise ValueError(
+                f"pipeline batch must be microbatch*n_microbatches"
+                f"{'*dp' if dp_axis else ''} = {want}, "
+                f"got {images.shape[0]}")
         q_dt = (jnp.bfloat16 if spec.engine in ("auto",) else jnp.int8)
         x_q = quantize_input(images, model.cfg.k, out_dtype=q_dt)
         slots = mapped(x_q)
@@ -321,7 +329,8 @@ def pipeline_forward(model, plan, spec: PipelineSpec, mesh: Mesh,
 def build_pp_pipeline(model, mesh: Mesh, n_stages: int, microbatch: int,
                       n_microbatches: int, dfl_w_float=None,
                       with_nms: bool = True, nms_params=None,
-                      engine: str = "auto", axis: str = "pp"):
+                      engine: str = "auto", axis: str = "pp",
+                      dp_axis: str = None):
     """images -> detections with the forward pipelined over `axis`.
 
     The pp analog of runtime.interpreter.build_int_pipeline: quantize +
@@ -340,7 +349,8 @@ def build_pp_pipeline(model, mesh: Mesh, n_stages: int, microbatch: int,
     plan = device_plan(model)
     spec = build_pipeline_spec(model, plan, n_stages, microbatch,
                                n_microbatches, engine=engine)
-    fwd = pipeline_forward(model, plan, spec, mesh, axis=axis)
+    fwd = pipeline_forward(model, plan, spec, mesh, axis=axis,
+                           dp_axis=dp_axis)
     full = model.cfg.full_quant
     if nms_params is None:
         nms_params = (q_nms_params(model.head.anchor_scale) if full

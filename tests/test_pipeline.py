@@ -86,6 +86,28 @@ def test_pp_forward_bitwise_matches_unsharded_partial_quant_xla():
                               np.asarray(want[role])), role
 
 
+def test_pp_eight_stages_bitwise_and_batch_guard():
+    """S=8 drives cuts through C2F split/residual/concat interiors; the
+    batch guard rejects a mismatched batch instead of silently clamping
+    the microbatch slices."""
+    import pytest
+
+    model, _ = _model(full_quant=True)
+    plan = device_plan(model)
+    spec = build_pipeline_spec(model, plan, n_stages=8, microbatch=1,
+                               n_microbatches=2, engine="auto")
+    mesh = make_mesh(8, axis="pp")
+    fwd = pipeline_forward(model, plan, spec, mesh)
+    images = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    got = fwd(images)
+    want = _ref_outs(model, plan, images, "auto")
+    for role in sorted(model.graph.outputs):
+        assert np.array_equal(np.asarray(got[role]),
+                              np.asarray(want[role])), role
+    with pytest.raises(ValueError, match="pipeline batch"):
+        fwd(RNG.uniform(0, 1, (3, 3, 64, 64)).astype(np.float32))
+
+
 def test_dp_pp_combined_mesh_bitwise_matches_unsharded():
     from alpha_yolo_quant_tpu.parallel.mesh import make_mesh_2d
     from alpha_yolo_quant_tpu.runtime.interpreter import device_plan as dp_

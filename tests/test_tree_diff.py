@@ -95,6 +95,17 @@ def test_stage6_k4_whole_tree_byte_identical(tmp_path):
 
 @ref_exists
 @not_skipped
+def test_stage6_k6_full_quant_whole_tree_byte_identical(tmp_path):
+    """K=6 x full-quant — the fastest serving bit width (int6 headline,
+    scripts/r6_kcheck.log) crossed with the quantized-head artifact set:
+    reference stage_6_full_quant re-executed with stage_0.K patched to 6
+    vs our K=6 full-quant export, whole-tree byte parity. (K=4 gates the
+    partial tree; this gates the 6b head files at a non-default K.)"""
+    _run(tmp_path, full=True, k=6)
+
+
+@ref_exists
+@not_skipped
 def test_stage6_small_whole_tree_byte_identical(tmp_path):
     """The SECOND model family: reference stage_6 in its yolov8s branch
     (stage_0.py:16-17,25-29 patched onto the loaded module, stage script
