@@ -114,7 +114,15 @@ def cmd_calibrate(args):
                             dp=args.dp or None)
     samples = None
     if cfg.calib_mode.lower() == "min_mae":
-        taps = [c.tap for c in graph.convs()]
+        from alpha_yolo_quant_tpu.quantize.calibrate import (
+            DEFAULT_MIN_MAE_KOEF,
+        )
+
+        # the stem conv's koef is fixed, not searched (the reference
+        # dumps no batches for conv_p1 and hardcodes 'conv_p1: 3' —
+        # calibrate.DEFAULT_MIN_MAE_KOEF), so skip its samples
+        taps = [c.tap for c in graph.convs()
+                if c.tap and c.tap not in DEFAULT_MIN_MAE_KOEF]
         # resumable: reuse persisted batches/ dumps when present, else
         # capture and persist them (reference utils/save_weights.py:13-21)
         samples = load_batches(args.out, taps)

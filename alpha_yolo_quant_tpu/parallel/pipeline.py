@@ -84,7 +84,14 @@ def _node_costs(graph: Graph, image_size: int):
             cs = [shapes[e] for e in node.srcs]
             shapes[node.dst] = (sum(c for c, _, _ in cs),) + cs[0][1:]
         elif isinstance(node, MaxPoolNode):
-            shapes[node.dst] = shapes[node.src]
+            # pooled output shape from kernel/stride/padding (ADVICE r4:
+            # assuming shape preservation holds only for the SPPF
+            # k=5/s=1/p=2 default and would silently skew downstream
+            # conv cost estimates for a strided pool)
+            c, h, w = shapes[node.src]
+            ho = (h + 2 * node.padding - node.kernel) // node.stride + 1
+            wo = (w + 2 * node.padding - node.kernel) // node.stride + 1
+            shapes[node.dst] = (c, ho, wo)
         elif isinstance(node, UpsampleNode):
             c, h, w = shapes[node.src]
             shapes[node.dst] = (c, h * node.factor, w * node.factor)

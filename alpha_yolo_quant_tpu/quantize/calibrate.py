@@ -157,11 +157,28 @@ def _sample_std(v: np.ndarray) -> float:
     return float(np.std(v, ddof=1)) if len(v) > 1 else 0.0
 
 
+# Layers whose min_mae sigma coefficient is NOT searched but fixed: the
+# reference's stage 4 dumps no activation batches for the stem conv, and
+# stage 5's std_koeff_update.txt writer hardcodes its coefficient
+# (utils/stage_5_common_func.py:81 writes 'conv_p1: 3' ahead of the
+# searched values). Taps listed here fall back to mean + koef*std when
+# absent from the samples dict.
+DEFAULT_MIN_MAE_KOEF = {"conv_p1": 3.0}
+
+
 def reduce_stats(records: Dict[str, List[float]], mode: str = "max",
                  k: int = 8,
                  samples: Optional[Dict[str, np.ndarray]] = None,
                  ) -> Dict[str, float]:
-    """Reduce per-image statistics to one calibration value per tap."""
+    """Reduce per-image statistics to one calibration value per tap.
+
+    Byte-gated against the reference's stage_5 executed from the mount
+    for max/mode/median/std/n=1 and the (path-bug-healed) min_mae intent
+    flow — tests/test_stage5_parity.py. The one deliberate divergence:
+    ``n=<i>`` parses the integer; the reference's stage_5 never does and
+    always uses its default n=1 (utils/stage_5_common_func.py:11 called
+    from stage_5.py:33 with two arguments), so only n=1 is byte-gated.
+    """
     out: Dict[str, float] = {"start": 1.0}
     mode_l = mode.lower()
     for name, values in records.items():
@@ -171,8 +188,16 @@ def reduce_stats(records: Dict[str, List[float]], mode: str = "max",
         if mode_l == "max":
             out[name] = float(np.abs(v).max())
         elif mode_l == "mode":
-            uniq, counts = np.unique(v, return_counts=True)
-            out[name] = float(uniq[np.argmax(counts)])
+            # pandas value_counts().index[0] semantics (reference
+            # utils/stage_5_common_func.py:18): among the values with
+            # the top count, the one appearing FIRST in the sequence
+            # wins (value_counts orders its hash table by first
+            # appearance, then stable-sorts by count) — np.unique+argmax
+            # would pick the smallest instead (byte-gate-proven).
+            uniq, first, counts = np.unique(v, return_index=True,
+                                            return_counts=True)
+            top = counts == counts.max()
+            out[name] = float(uniq[top][np.argmin(first[top])])
         elif mode_l == "median":
             out[name] = float(np.median(v))
         elif mode_l == "std":
@@ -182,30 +207,61 @@ def reduce_stats(records: Dict[str, List[float]], mode: str = "max",
             uniq = np.unique(v)
             out[name] = float(uniq[max(-n - 1, -len(uniq))])
         elif mode_l == "min_mae":
-            if samples is None or name not in samples:
+            if samples is not None and name in samples:
+                out[name] = min_mae_search(v, samples[name], k)[1]
+            elif name in DEFAULT_MIN_MAE_KOEF:
+                koef = DEFAULT_MIN_MAE_KOEF[name]
+                out[name] = float(v.mean() + koef * _sample_std(v))
+            else:
                 raise ValueError(f"min_mae needs samples for {name}")
-            out[name] = _min_mae_value(v, samples[name], k)
         else:
             raise ValueError(f"unknown calibration mode {mode}")
     return out
 
 
-def _min_mae_value(per_image_max: np.ndarray, acts: np.ndarray,
-                   k: int) -> float:
-    """Sigma-coefficient sweep: a = mean + koef*std, koef in linspace(-2,4,50),
-    minimizing |sum(x - dequant(quant(x, a)))| / N (reference
-    stage_5.py:62-82 + utils/stage_5_common_func.py:55-61)."""
+def min_mae_search(per_image_max: np.ndarray, acts: np.ndarray,
+                   k: int, full: bool = False) -> tuple:
+    """Sigma-coefficient sweep: a = mean + koef*std, koef in
+    linspace(-2,4,50), minimizing |sum(x - dequant(quant(x, a)))| / N
+    (reference stage_5.py:62-85 + utils/stage_5_common_func.py:50-61).
+    Returns (best_koef, best_a); ties keep the LATER koef (the
+    reference's ``<=`` update).
+
+    DTYPE-FOLLOWING: the reference quantizes its f32 activation dumps in
+    torch f32 (clip/scale/round all at f32 — stage_5_common_func.py:
+    50-61; the int64 dequant divides back into torch's f32 default
+    dtype), and promoting to f64 flips rounding ties, so every
+    elementwise step here stays f32. Two documented seams that cannot be
+    bit-matched and are argmin-invariant instead (margin-asserted in
+    tests/test_stage5_parity.py): the f32 sum's reduction order (torch
+    and numpy tree-reduce differently), and the normalization count (the
+    reference divides by its fixed 500-row zero-padded buffer size,
+    stage_5.py:54+74-76 — zeros quantize to 0 and add nothing to the
+    sum, so N only rescales every candidate equally). A negative
+    candidate ``a`` is evaluated, not skipped: the reference's
+    sequential new_clip collapses the whole tensor to -a in that case
+    and the MAE is still computed (stage_5_common_func.py:50-53).
+    """
     qmax = 2 ** (k - 1) - 1
-    mean, std = per_image_max.mean(), _sample_std(per_image_max)
-    best_a, best_err = None, np.inf
-    x = acts.astype(np.float64)
+    v = np.asarray(per_image_max, np.float64)
+    mean, std = v.mean(), _sample_std(v)
+    x = np.ascontiguousarray(acts, np.float32)
+    best_koef, best_a, best_err = None, None, np.inf
+    errs = []
     for koef in np.linspace(-2, 4, 50):
-        a = mean + koef * std
-        if a <= 0:
-            continue
-        s = qmax / a
-        q = np.round(np.clip(x, -a, a) * s)
-        err = abs(float(np.sum(x - q / s))) / x.size
+        a = mean + koef * std          # f64, like the pandas column math
+        scale = qmax / a
+        a32, s32 = np.float32(a), np.float32(scale)
+        # torch new_clip is SEQUENTIAL in-place: first v>a -> a, then
+        # v<-a -> -a (for a<0 the second pass flattens everything to -a)
+        m = np.where(x > a32, a32, x)
+        m = np.where(m < -a32, -a32, m)
+        q = np.rint(m * s32)           # f32 round-half-even, like torch
+        deq = q.astype(np.int64).astype(np.float32) / s32
+        err = float(np.abs(np.sum(x - deq) / np.float32(x.size)))
+        errs.append(err)
         if err <= best_err:
-            best_err, best_a = err, a
-    return float(best_a)
+            best_err, best_koef, best_a = err, float(koef), float(a)
+    if full:
+        return best_koef, best_a, errs
+    return best_koef, best_a

@@ -294,10 +294,17 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
         options = EngineOptions()
     segmented = node_range is not None
     if segmented or env_in is not None or out_edges is not None:
-        assert segmented and env_in is not None and out_edges is not None, \
-            "segmented execution needs node_range + env_in + out_edges"
-        assert engine in ("xla", "s8", "auto") and not keep_env, \
-            "segments run the plain NCHW engines (no keep_env/nhwc/pallas)"
+        # hard errors, not asserts: under `python -O` a stripped assert
+        # would silently run the whole graph ignoring env_in, or run a
+        # slab/pre-op-planned engine over a node slice with absolute
+        # indices (ADVICE r4)
+        if not (segmented and env_in is not None and out_edges is not None):
+            raise ValueError(
+                "segmented execution needs node_range + env_in + out_edges")
+        if engine not in ("xla", "s8", "auto") or keep_env:
+            raise ValueError(
+                "segments run the plain NCHW engines (no keep_env/nhwc/"
+                "pallas)")
     cfg = model.cfg
     qmax = cfg.qmax
     nhwc = engine in ("nhwc", "s8_nhwc", "fused") and not keep_env

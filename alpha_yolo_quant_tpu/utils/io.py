@@ -38,12 +38,29 @@ def write_max_a_all(path: str, records: Dict[str, List[float]]) -> None:
 
 
 def read_max_a_all(path: str) -> Dict[str, List[float]]:
+    """Parse per-image statistic lists — ours AND the reference's.
+
+    Our writer emits plain float lists. The reference's stage-4 dump
+    instead writes the repr of a list of torch scalar TENSORS —
+    "conv_p1: [tensor(0.9686, device='cuda:0'), tensor(...), ...]" —
+    rounded to torch's default 4-decimal print precision; its stage-5
+    consumes exactly those rounded values (stage_5.py:12-26: strip
+    [], split ', ', strip 'tensor('/')', drop device fragments). This
+    parser follows the same semantics so a reference-produced
+    calibration tree can be resumed by our pipeline, rounding included
+    (byte-gated: tests/test_stage5_parity.py)."""
     out: Dict[str, List[float]] = {}
     with open(path) as f:
         for line in f:
             if not line.strip():
                 continue
             name, rest = line.split(": ", 1)
-            rest = rest.strip().strip("[]")
-            out[name] = [float(v) for v in rest.split(",") if v.strip()]
+            rest = rest.replace("[", "").replace("]", "")
+            vals = []
+            for frag in rest.split(", "):
+                frag = frag.replace("tensor(", "").replace(")", "")
+                if not frag.strip() or "device=" in frag:
+                    continue
+                vals.append(float(frag))
+            out[name] = vals
     return out

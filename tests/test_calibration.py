@@ -6,7 +6,7 @@ import pytest
 import conftest  # noqa: F401
 
 from alpha_yolo_quant_tpu.quantize.calibrate import (
-    _min_mae_value, reduce_stats,
+    min_mae_search, reduce_stats,
 )
 
 
@@ -34,9 +34,9 @@ def test_unknown_mode_raises():
 
 def test_min_mae_picks_low_bias_scale():
     rng = np.random.default_rng(0)
-    acts = rng.normal(0, 1.0, (50, 4, 8, 8))
+    acts = rng.normal(0, 1.0, (50, 4, 8, 8)).astype(np.float32)
     per_image_max = np.abs(acts).max(axis=(1, 2, 3))
-    a = _min_mae_value(per_image_max, acts, k=8)
+    _, a = min_mae_search(per_image_max, acts, k=8)
     # the chosen clip must be positive and within the swept sigma band
     mean, std = per_image_max.mean(), per_image_max.std(ddof=1)
     assert mean - 2.01 * std <= a <= mean + 4.01 * std

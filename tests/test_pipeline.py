@@ -158,3 +158,37 @@ def test_pp_detections_match_single_device_pipeline():
         assert np.array_equal(det_pp[b, :k, 4:], det1[b, :k, 4:])
         np.testing.assert_allclose(det_pp[b, :k, :4], det1[b, :k, :4],
                                    rtol=0, atol=1e-3)
+
+
+def test_pp_detections_partial_quant_match_single_device_pipeline():
+    """build_pp_pipeline's full_quant=False branch (decode_float over
+    dequantize_heads — ADVICE r4: previously untested through
+    build_pp_pipeline): bitwise vs the 1-stage run of the same program,
+    and keep-set/class parity vs build_int_pipeline's partial-quant
+    detections (box/conf floats may differ in the last ulp across the
+    two compiled float decodes)."""
+    model, params = _model(full_quant=False)
+    dfl_w = params["dfl"]["w"]
+    mesh = make_mesh(4, axis="pp")
+    fn_pp, spec = build_pp_pipeline(model, mesh, n_stages=4, microbatch=1,
+                                    n_microbatches=4, dfl_w_float=dfl_w)
+    images = RNG.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    det_pp, n_pp = fn_pp(images)
+    det_pp = np.asarray(det_pp)
+
+    fn_1stage, _ = build_pp_pipeline(model, make_mesh(1, axis="pp"),
+                                     n_stages=1, microbatch=4,
+                                     n_microbatches=1, dfl_w_float=dfl_w)
+    det_1, n_1 = fn_1stage(images)
+    assert np.array_equal(np.asarray(n_pp), np.asarray(n_1))
+    assert np.array_equal(det_pp, np.asarray(det_1))
+
+    fn1, _ = build_int_pipeline(model, dfl_w_float=dfl_w, engine="auto")
+    det1, n1 = jax.jit(fn1)(images)
+    assert np.array_equal(np.asarray(n_pp), np.asarray(n1))
+    det1 = np.asarray(det1)
+    for b in range(det1.shape[0]):
+        k = int(np.asarray(n1)[b])
+        assert np.array_equal(det_pp[b, :k, 5], det1[b, :k, 5])
+        np.testing.assert_allclose(det_pp[b, :k, :5], det1[b, :k, :5],
+                                   rtol=0, atol=1e-3)
