@@ -163,86 +163,6 @@ def test_harness_prefetch_path(tmp_path):
     assert r1.map50_95 == r2.map50_95 == 0.0
 
 
-def _average_precision_loop(ann, det, iou_threshold):
-    """The round-1 per-detection reference matcher (kept as the oracle for
-    the vectorized implementation in eval/metrics.py)."""
-    from alpha_yolo_quant_tpu.eval.metrics import _ap_from_pr, _iou_matrix
-
-    ann = np.asarray(ann, object)
-    det = np.asarray(det, object)
-    labels = sorted({str(r[1]) for r in ann})
-    aps = {}
-    for label in labels:
-        gt_rows = [r for r in ann if str(r[1]) == label]
-        dt_rows = [r for r in det if str(r[1]) == label]
-        n_gt = len(gt_rows)
-        if n_gt == 0:
-            continue
-        if not dt_rows:
-            aps[label] = 0.0
-            continue
-        gt_by_img = {}
-        for r in gt_rows:
-            gt_by_img.setdefault(str(r[0]), []).append(
-                [float(r[2]), float(r[3]), float(r[4]), float(r[5])])
-        used = {img: np.zeros(len(v), bool) for img, v in gt_by_img.items()}
-        boxes_by_img = {img: np.array(v, np.float64)
-                        for img, v in gt_by_img.items()}
-        dt_rows.sort(key=lambda r: -float(r[2]))
-        tp = np.zeros(len(dt_rows))
-        fp = np.zeros(len(dt_rows))
-        for i, r in enumerate(dt_rows):
-            img = str(r[0])
-            box = np.array([[float(r[3]), float(r[4]), float(r[5]),
-                             float(r[6])]])
-            if img not in boxes_by_img:
-                fp[i] = 1
-                continue
-            ious = _iou_matrix(box, boxes_by_img[img])[0]
-            j = int(np.argmax(ious))
-            if ious[j] >= iou_threshold and not used[img][j]:
-                tp[i] = 1
-                used[img][j] = True
-            else:
-                fp[i] = 1
-        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
-        recall = ctp / n_gt
-        precision = ctp / np.maximum(ctp + cfp, 1e-12)
-        aps[label] = _ap_from_pr(recall, precision)
-    return (float(np.mean(list(aps.values()))) if aps else 0.0), aps
-
-
-def test_vectorized_matcher_equals_loop_oracle():
-    """Dense random detections over many images/classes: the grouped
-    vectorized matcher must equal the per-detection greedy loop exactly
-    at every IoU threshold."""
-    rng = np.random.default_rng(13)
-    ann_rows, det_rows = [], []
-    for img in range(12):
-        for _ in range(rng.integers(0, 8)):
-            cls = int(rng.integers(0, 5))
-            x, y = rng.uniform(0, 500, 2)
-            w, h = rng.uniform(20, 120, 2)
-            ann_rows.append([str(img), f"c{cls}", x, y, x + w, y + h])
-    for img in range(12):
-        for _ in range(rng.integers(0, 20)):
-            cls = int(rng.integers(0, 6))      # incl. a class with no gts
-            x, y = rng.uniform(0, 500, 2)
-            w, h = rng.uniform(20, 120, 2)
-            conf = float(np.round(rng.uniform(0.05, 1.0), 2))  # force ties
-            det_rows.append([str(img), f"c{cls}", conf, x, y, x + w, y + h])
-    ann = np.array(ann_rows, object)
-    det = np.array(det_rows, object)
-    for thr in (0.3, 0.5, 0.75, 0.9):
-        want_m, want_aps = _average_precision_loop(ann, det, thr)
-        got_m, got_aps = average_precision(ann, det, thr)
-        assert got_aps.keys() == want_aps.keys()
-        for lb in want_aps:
-            np.testing.assert_allclose(got_aps[lb], want_aps[lb], rtol=0,
-                                       atol=1e-12, err_msg=f"{lb}@{thr}")
-        np.testing.assert_allclose(got_m, want_m, atol=1e-12)
-
-
 def test_prefetch_process_pool(tmp_path):
     """The process-pool decode path yields identical batches to the
     synchronous reader."""
