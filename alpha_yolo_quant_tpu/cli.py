@@ -270,11 +270,26 @@ def cmd_eval_int8(args):
 
 def cmd_memsim(args):
     from alpha_yolo_quant_tpu.export.artifacts import make_dirs
-    from alpha_yolo_quant_tpu.hwsim.sram import simulate
+    from alpha_yolo_quant_tpu.hwsim.sram import (
+        DEFAULT_CELLS, min_buffer_cells, simulate,
+    )
     from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
 
     cfg = _cfg(args)
     graph = build_yolov8_graph(cfg)
+    if args.min_buffer:
+        # capacity what-if from the static walk (the reference would
+        # re-run its torch forward per candidate; this is milliseconds)
+        mc = min_buffer_cells(graph, cfg.image_size)
+        peak = simulate(graph, cfg.image_size, 1 << 40).peak_cells
+        frag = mc - peak
+        print(f"min buffer: {mc} cells ({mc // 8} rows of 8) for "
+              f"{cfg.model}@{cfg.image_size} | true peak {peak} cells"
+              + (f" (+{frag} first-fit fragmentation)" if frag else
+                 " (zero fragmentation: capacity == peak)")
+              + f" | reference buffer {DEFAULT_CELLS}: "
+              + ("fits" if mc <= DEFAULT_CELLS else "DOES NOT FIT"))
+        return 0
     sim = simulate(graph, cfg.image_size)
     make_dirs(args.out)
     sim.write_memory_txt(os.path.join(args.out, "results", "memory.txt"))
@@ -397,24 +412,35 @@ def cmd_serve(args):
     with src:
         paths = [ln.strip() for ln in src if ln.strip()]
     results = [None] * len(paths)
+    errors = [None] * len(paths)
     shape = (3, cfg.image_size, cfg.image_size)
     with BatchCoalescer(fn, max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms,
                         image_shape=shape) as co:
         def one(i, path):
-            img = load_image_square(path, cfg.image_size)[None]
-            det, n_det = co.submit(img).result()
-            return i, det[0][: int(n_det[0])]
+            # a mid-stream decode (or step) failure must not take the
+            # whole serve run down: report per-image, keep serving
+            try:
+                img = load_image_square(path, cfg.image_size)[None]
+                det, n_det = co.submit(img).result()
+                return i, det[0][: int(n_det[0])], None
+            except Exception as e:
+                return i, None, f"{type(e).__name__}: {e}"
 
         with cf.ThreadPoolExecutor(args.decoders) as pool:
             futs = [pool.submit(one, i, p) for i, p in enumerate(paths)]
             for f in cf.as_completed(futs):
-                i, det = f.result()
-                results[i] = det
+                i, det, err = f.result()
+                results[i], errors[i] = det, err
         stats = co.snapshot()
     out = open(args.output, "w") if args.output else sys.stdout
+    n_failed = 0
     try:
-        for path, det in zip(paths, results):
+        for path, det, err in zip(paths, results, errors):
+            if err is not None:
+                n_failed += 1
+                out.write(json.dumps({"path": path, "error": err}) + "\n")
+                continue
             out.write(json.dumps({
                 "path": path,
                 "n": int(len(det)),
@@ -424,12 +450,14 @@ def cmd_serve(args):
     finally:
         if args.output:
             out.close()
-    print(f"served {len(paths)} images"
+    print(f"served {len(paths) - n_failed}/{len(paths)} images"
           + (f" -> {args.output}" if args.output else "")
           + f" | {stats['flushes']} steps, mean fill "
           f"{stats['mean_fill']:.2f}, latency p50/p95 "
-          f"{stats['latency_ms_p50']:.1f}/{stats['latency_ms_p95']:.1f} ms",
+          f"{stats['latency_ms_p50']:.1f}/{stats['latency_ms_p95']:.1f} ms"
+          + (f" | {n_failed} FAILED" if n_failed else ""),
           file=sys.stderr)
+    return 1 if n_failed else 0
 
 
 def cmd_accept(args):
@@ -525,9 +553,11 @@ def cmd_accept(args):
 def cmd_bench(args):
     import bench
 
+    batch = (args.batch if args.batch is not None
+             else 128 * max(args.dp, 1))
     bench.main(model=args.model, k=args.k, image_size=args.image_size,
-               engine=args.engine, batch=args.batch, iters=args.iters,
-               check=args.check, coalesce=args.coalesce)
+               engine=args.engine, batch=batch, iters=args.iters,
+               check=args.check, coalesce=args.coalesce, dp=args.dp)
 
 
 def build_parser():
@@ -597,6 +627,10 @@ def build_parser():
     common(sp, weights=False)
     sp.add_argument("--heatmaps", action="store_true",
                     help="emit per-layer occupancy heatmaps into memory/")
+    sp.add_argument("--min-buffer", action="store_true",
+                    help="bisect the smallest SRAM capacity that fits "
+                         "this model/size instead of simulating at the "
+                         "reference capacity")
     sp.set_defaults(fn=cmd_memsim)
 
     sp = sub.add_parser("demo", help="single-image smoke run")
@@ -663,13 +697,17 @@ def build_parser():
                          "and eval-int8)")
     sp.set_defaults(fn=cmd_accept)
 
-    sp = sub.add_parser("bench", help="single-chip throughput")
+    sp = sub.add_parser("bench", help="chip throughput (single or --dp)")
     common(sp, weights=False)
     sp.add_argument("--engine", default="auto",
                     choices=["xla", "s8", "s8_nhwc", "nhwc", "auto",
                              "pallas", "fused", "packed"])
-    sp.add_argument("--batch", type=int, default=128)
+    sp.add_argument("--batch", type=int, default=None,
+                    help="GLOBAL batch (default 128 per chip)")
     sp.add_argument("--iters", type=int, default=10)
+    sp.add_argument("--dp", type=int, default=0,
+                    help="slope-timed envelope under the shard_map "
+                         "data-parallel step over N local devices")
     sp.add_argument("--check", action="store_true",
                     help="gate against the recorded envelope (bench.py)")
     sp.add_argument("--coalesce", type=int, default=0,

@@ -201,6 +201,42 @@ def _last_uses(graph: Graph) -> Dict[str, int]:
     return last
 
 
+def min_buffer_cells(graph: Graph, image_size: int = 640,
+                     columns: int = COLUMNS) -> int:
+    """Smallest SRAM capacity (in cells, a multiple of ``columns``) for
+    which the whole plan fits under the first-fit allocator — the
+    what-if the reference could only answer by re-running its torch
+    forward per candidate capacity (utils/mem_ckecker.py:9-14 hardcodes
+    1x16x400x448); the static walk answers it in milliseconds.
+
+    Row-granular bisect between the true peak occupancy (a lower bound:
+    no allocator fits below it) and a doubling upper bound; placements
+    below the trailing gap are capacity-independent (allocations are
+    first-fit from the front), so fit is monotone in capacity — the
+    result is nonetheless verified by a fit/doesn't-fit pair at the
+    boundary."""
+    def fits(rows: int) -> bool:
+        try:
+            simulate(graph, image_size, rows * columns)
+            return True
+        except SramError:
+            return False
+
+    unlimited = simulate(graph, image_size, 1 << 40)
+    lo = unlimited.peak_rows              # infeasible-below bound
+    hi = lo
+    while not fits(hi):
+        hi *= 2
+    while lo < hi:                        # invariant: fits(hi), !fits(<lo)
+        mid = (lo + hi) // 2
+        if fits(mid):
+            hi = mid
+        else:
+            lo = mid + 1
+    assert fits(hi) and (hi == unlimited.peak_rows or not fits(hi - 1))
+    return hi * columns
+
+
 def simulate(graph: Graph, image_size: int = 640,
              total_cells: int = DEFAULT_CELLS) -> SramSim:
     """Walk the IR once, applying the reference lifetime policies (frees

@@ -69,7 +69,19 @@ def check_envelope(metric: str, img_s: float) -> int:
 
 
 def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
-         iters=ITERS, input_dtype="f32", check=False, coalesce=0):
+         iters=ITERS, input_dtype="f32", check=False, coalesce=0, dp=0):
+    """dp=N runs the official slope-timed envelope under the shard_map
+    data-parallel step on an N-chip mesh (VERDICT r4 #3): the
+    multi-chip perf protocol written before the hardware exists. The
+    global --batch shards over N devices (default scales to 128 per
+    chip); the carry/consumption rules (traps #6/#6b) apply to the
+    GLOBAL step exactly as single-chip — the dep threads into the
+    sharded input and one element of every (batch-sharded) output leaf
+    rides the scalar carry, so no per-device program loses liveness.
+    dp=1 keeps the base metric name and must land in the single-chip
+    envelope under --check (the shard_map wrapper may cost nothing);
+    dp>1 appends _dp{N} and reports aggregate img/s, with vs_baseline
+    normalized PER CHIP (value / N / 2000)."""
     import jax
 
     from alpha_yolo_quant_tpu.config import QuantConfig
@@ -97,6 +109,9 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # 31.8 ms padded, scripts/r5_b64.log). Model-aware: yolov8s has no
     # mid-batch pathology and padding HURTS there (68.9 vs 72.4 ms,
     # scripts/r5_spad.log). Throughput still counts only REAL images.
+    if coalesce and dp:
+        raise SystemExit("--dp composes with --coalesce through "
+                         "serving.BatchCoalescer, not the bench harness")
     if coalesce:
         # B=64-protocol serving seam (VERDICT r3 #3): `coalesce`
         # requests of `batch` images each ride ONE conv-stack step —
@@ -107,6 +122,22 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
                                          coalesce_requests=coalesce)
         metric += f"_co{coalesce}x{batch}"
         pad = None
+    elif dp:
+        from alpha_yolo_quant_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if dp > n_dev:
+            raise SystemExit(f"--dp {dp}: only {n_dev} devices visible")
+        if batch % dp:
+            raise SystemExit(f"--dp {dp} must divide --batch {batch}")
+        # the pad policy follows the PER-DEVICE batch the conv stack
+        # actually runs at (same rule as cli.py eval-int8 --dp)
+        per_dev = batch // dp
+        pad = 128 if (model == "yolov8n" and 32 < per_dev < 128) else None
+        fn, _ = build_int_pipeline(qmodel, engine=engine,
+                                   pad_batch_to=pad)
+        if dp > 1:
+            metric += f"_dp{dp}"
     else:
         pad = 128 if (model == "yolov8n" and 32 < batch < 128) else None
         fn, _ = build_int_pipeline(qmodel, engine=engine, pad_batch_to=pad)
@@ -134,8 +165,7 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
             return jax.tree_util.tree_leaves(fn(imgs[0]))
         n_inputs = 1
 
-    @jax.jit
-    def chained(images, n_iters):
+    def loop(images, n_iters, init=None):
         def body(i, acc):
             dep = jnp.isnan(acc)
             leaves = step_inner(tuple(
@@ -150,7 +180,39 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
             for leaf in leaves:
                 tot = tot + leaf.reshape(-1)[0].astype(jnp.float32)
             return tot
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0))
+        return jax.lax.fori_loop(
+            0, n_iters, body,
+            jnp.float32(0) if init is None else init)
+
+    if dp:
+        # each device runs the VERBATIM single-chip carry loop on its
+        # batch shard (so every trap-#6/#6b liveness rule holds
+        # per-device program-for-program) and returns its own carry;
+        # the host sums the dp scalars after the timed fetch. Slicing a
+        # dp-sharded leaf from outside the shard_map instead is both
+        # unimplemented under sharding-in-types and a liveness hazard.
+        from jax.sharding import PartitionSpec
+
+        from alpha_yolo_quant_tpu.parallel.mesh import make_mesh
+
+        shard_loop = jax.shard_map(
+            # the carry starts device-varying (pcast) so the per-device
+            # loop carries may diverge
+            lambda im, n: loop(
+                (im,), n,
+                init=jax.lax.pcast(jnp.float32(0), ("dp",),
+                                   to="varying")).reshape(1),
+            mesh=make_mesh(dp),
+            in_specs=(PartitionSpec("dp"), PartitionSpec()),
+            out_specs=PartitionSpec("dp"))
+
+        @jax.jit
+        def chained(images, n_iters):
+            return shard_loop(images[0], n_iters)
+    else:
+        @jax.jit
+        def chained(images, n_iters):
+            return loop(images, n_iters)
 
     rng0 = np.random.default_rng(0)
     images = [rng0.uniform(
@@ -172,7 +234,12 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     # between two iteration counts cancels the fixed term.
     # n_iters is passed as a device scalar so one compile serves the
     # warmup and both measured iteration counts.
-    float(chained(images, jnp.int32(WARMUP)))   # compile + warm
+    def fetch(res):
+        # the fetch IS the completion barrier; dp returns per-device
+        # carries summed on host, single-chip a scalar
+        return float(np.asarray(res).sum())
+
+    fetch(chained(images, jnp.int32(WARMUP)))   # compile + warm
     n_hi = 3 * iters
     # Noise is additive (scheduler jitter, tunnel hiccups only ever ADD
     # wall time to a fixed computation), so take the min PER LEG across
@@ -186,10 +253,10 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
     t_lo_min, t_hi_min = float("inf"), float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chained(images, jnp.int32(iters)))  # fetch forces completion
+        fetch(chained(images, jnp.int32(iters)))  # fetch forces completion
         t_lo_min = min(t_lo_min, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(chained(images, jnp.int32(n_hi)))
+        fetch(chained(images, jnp.int32(n_hi)))
         t_hi_min = min(t_hi_min, time.perf_counter() - t0)
     dt = (t_hi_min - t_lo_min) / (n_hi - iters)
     if dt <= 0:
@@ -199,11 +266,17 @@ def main(model="yolov8n", k=8, image_size=640, engine="auto", batch=BATCH,
             "re-run with --iters higher")
 
     img_s = batch * n_inputs / dt
+    per_chip = img_s / dp if dp else img_s
+    if dp and dp > 1:
+        import sys
+
+        print(f"dp={dp}: {img_s:.1f} img/s aggregate, "
+              f"{per_chip:.1f} img/s/chip", file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": round(img_s, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+        "vs_baseline": round(per_chip / BASELINE_IMG_S, 4),
     }))
     if check:
         raise SystemExit(check_envelope(metric, img_s))
@@ -217,8 +290,15 @@ if __name__ == "__main__":
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=640)
     ap.add_argument("--engine", default="auto")
-    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="GLOBAL batch (default: 128 per chip, i.e. "
+                         "128 * max(dp, 1))")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="run the envelope under the shard_map "
+                         "data-parallel step over N local devices "
+                         "(the multi-chip perf protocol; dp=1 must "
+                         "reproduce the single-chip envelope)")
     ap.add_argument("--input", choices=["f32", "u8"], default="f32",
                     help="image ingest dtype: f32 [0,1] tensors (the "
                          "round-comparable default) or raw uint8 pixels "
@@ -235,5 +315,7 @@ if __name__ == "__main__":
                          "throughput counts all real images")
     a = ap.parse_args()
     main(model=a.model, k=a.k, image_size=a.image_size, engine=a.engine,
-         batch=a.batch, iters=a.iters, input_dtype=a.input, check=a.check,
-         coalesce=a.coalesce)
+         batch=(a.batch if a.batch is not None
+                else BATCH * max(a.dp, 1)),
+         iters=a.iters, input_dtype=a.input, check=a.check,
+         coalesce=a.coalesce, dp=a.dp)

@@ -25,3 +25,42 @@ REFERENCE_ROOT = "/root/reference/quantisation"
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+# ---- the `quick` tier (VERDICT r4 #4) -------------------------------
+# `pytest -m quick` is the <5-minute inner-loop smoke pass: L0/unit/
+# NMS/plan/metric tests plus downsized end-to-end gates (64-px CLI
+# pipeline, the stage-5 reference replay — cheap, unlike the 640-px
+# stage-6 tree gates). Everything else (reference per-pixel writers,
+# multi-minute parity suites, the serving soak) stays full-suite-only.
+# Measured wall times: see CLAUDE.md "Tests".
+
+QUICK_FILES = {
+    "test_primitives.py", "test_intmath.py", "test_intmath_fast.py",
+    "test_calibration.py", "test_eval.py", "test_map_oracle.py",
+    "test_hwsim.py", "test_nms.py", "test_model.py", "test_ops_misc.py",
+    "test_loadq.py", "test_golden_decode.py", "test_stage5_parity.py",
+    "test_bench_check.py", "test_export.py",
+}
+# quick members of otherwise-heavy files: one downsized e2e gate
+QUICK_NODES = {
+    "test_cli.py::test_quantize_and_memsim",
+    "test_cli.py::test_demo_command",
+}
+# slow members of otherwise-quick files
+QUICK_EXCLUDE = {
+    "test_bench_check.py::test_bench_main_traces_default_and_coalesced",
+    "test_bench_check.py::test_bench_main_dp_on_virtual_mesh",
+    "test_bench_check.py::test_bench_dp_rejects_bad_combos",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        nid = f"{fname}::{item.name.split('[')[0]}"
+        if ((fname in QUICK_FILES or nid in QUICK_NODES)
+                and nid not in QUICK_EXCLUDE):
+            item.add_marker(pytest.mark.quick)

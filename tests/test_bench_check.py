@@ -67,3 +67,35 @@ def test_envelopes_cover_the_recorded_k_sweep():
         assert m in ENVELOPES
         lo, hi = ENVELOPES[m]
         assert 0 < lo <= hi
+
+
+def test_bench_main_dp_on_virtual_mesh(capsys):
+    """bench --dp (VERDICT r4 #3): the multi-chip slope-timed protocol
+    traces and emits valid JSON on the 8-device virtual mesh. dp>1
+    appends _dp{N} and normalizes vs_baseline PER CHIP; dp=1 keeps the
+    base metric name so --check gates it against the single-chip
+    envelope (N=1 equivalence)."""
+    import json
+
+    import bench as bench_mod
+
+    bench_mod.main(image_size=64, batch=8, iters=2, dp=8)
+    bench_mod.main(image_size=64, batch=4, iters=2, dp=1)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    d8, d1 = (json.loads(ln) for ln in lines)
+    assert d8["metric"] == "yolov8n_64_int8_e2e_dp8" and d8["value"] > 0
+    assert d8["vs_baseline"] == round(d8["value"] / 8 / 2000.0, 4)
+    assert d1["metric"] == "yolov8n_64_int8_e2e" and d1["value"] > 0
+
+
+def test_bench_dp_rejects_bad_combos():
+    import pytest
+
+    import bench as bench_mod
+
+    with pytest.raises(SystemExit):
+        bench_mod.main(image_size=64, batch=6, iters=2, dp=4)  # 4 !| 6
+    with pytest.raises(SystemExit):
+        bench_mod.main(image_size=64, batch=8, iters=2, dp=2, coalesce=2)

@@ -158,6 +158,41 @@ def test_serve_jsonl_over_image_list(art, tmp_path):
             assert len(d) == 6
 
 
+def test_serve_mid_stream_decode_failure(art, tmp_path):
+    """A bad image path mid-list must not take the serve run down: the
+    failed image gets an error JSONL row in place, every other image is
+    served normally (same rows as a clean run), and the exit code is
+    nonzero (VERDICT r4 #5's decode-failure clause)."""
+    from tests_synth import write_synthetic_coco
+
+    img_dir, _ = write_synthetic_coco(tmp_path, n_images=4)
+    good = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir))
+    paths = good[:2] + [str(tmp_path / "missing.jpg")] + good[2:]
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    out_path = str(tmp_path / "dets.jsonl")
+    w = os.path.join(art, "results", "weights_batchnf.npz")
+    ma = os.path.join(art, "results", "max_a.txt")
+    base = ["serve", "--out", art, "--weights", w, "--max-a", ma,
+            "--image-size", "64", "--max-batch", "4",
+            "--max-wait-ms", "50", "--decoders", "3"]
+    rc = cli.main(base + ["--input-list", str(lst),
+                          "--output", out_path])
+    assert rc == 1
+    rows = [json.loads(ln) for ln in open(out_path)]
+    assert [r["path"] for r in rows] == paths
+    assert "error" in rows[2] and "detections" not in rows[2]
+    # the surviving images match a clean run byte-for-byte
+    lst2 = tmp_path / "clean.txt"
+    lst2.write_text("\n".join(good) + "\n")
+    out2 = str(tmp_path / "clean.jsonl")
+    assert cli.main(base + ["--input-list", str(lst2),
+                            "--output", out2]) == 0
+    clean = [json.loads(ln) for ln in open(out2)]
+    served = [r for r in rows if "error" not in r]
+    assert served == clean
+
+
 def test_serve_from_artifacts_matches_weights_path(art, tmp_path):
     """`serve --from-artifacts` (the stage-8 production load: quantized
     pickles + bias_scales + max_a, no float weights) must emit

@@ -76,3 +76,45 @@ def test_memory_heatmaps(tmp_path):
     assert n == 5
     pngs = os.listdir(os.path.join(str(tmp_path), "memory"))
     assert len(pngs) >= 1 and all(p.endswith(".png") for p in pngs)
+
+
+def test_min_buffer_search_pins_reference_capacity():
+    """Capacity bisect (VERDICT r4 #6): yolov8n@640 needs EXACTLY the
+    reference's hardcoded 2,867,200 cells (utils/mem_ckecker.py:9-14 —
+    the hardware SRAM is sized to the model's peak with zero first-fit
+    fragmentation); yolov8n@320 needs a quarter; yolov8s@640 does NOT
+    fit the reference buffer (6,144,000 min vs 4,915,200 true peak —
+    first-fit fragmentation) — the what-if the static walk answers in
+    milliseconds."""
+    from alpha_yolo_quant_tpu.hwsim.sram import (
+        DEFAULT_CELLS, SramError, min_buffer_cells,
+    )
+
+    g_n = build_yolov8_graph(QuantConfig(model="yolov8n"))
+    mc = min_buffer_cells(g_n, 640)
+    assert mc == 2_867_200 == DEFAULT_CELLS
+    assert mc == simulate(g_n, 640, 1 << 40).peak_cells  # zero frag
+    assert min_buffer_cells(g_n, 320) == 716_800
+
+    g_s = build_yolov8_graph(QuantConfig(model="yolov8s"))
+    mc_s = min_buffer_cells(g_s, 640)
+    assert mc_s == 6_144_000 > DEFAULT_CELLS
+    # boundary verification: fits at the answer, not one row below
+    simulate(g_s, 640, mc_s)
+    try:
+        simulate(g_s, 640, mc_s - 8)
+        assert False, "fit one row below the bisected minimum"
+    except SramError:
+        pass
+
+
+def test_memsim_cli_min_buffer(capsys):
+    from alpha_yolo_quant_tpu import cli
+
+    assert cli.main(["memsim", "--min-buffer", "--image-size", "640"]) == 0
+    out = capsys.readouterr().out
+    assert "2867200 cells" in out and "zero fragmentation" in out
+    assert cli.main(["memsim", "--min-buffer", "--model", "yolov8s",
+                     "--image-size", "640"]) == 0
+    out = capsys.readouterr().out
+    assert "6144000 cells" in out and "DOES NOT FIT" in out

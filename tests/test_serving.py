@@ -220,6 +220,141 @@ def test_coalescer_worker_death_fails_futures():
         assert False, "coalescer still accepting after worker death"
 
 
+def test_coalescer_soak_storm():
+    """Property/soak test (VERDICT r4 #5): ~30 s of randomized
+    concurrent traffic — request sizes 1..max_batch, bursty submitters,
+    timeout flushes — through the real int pipeline. Every response
+    must be bitwise equal to the same request run alone (zero-padded)
+    through an identically-compiled step; afterwards no future may be
+    unresolved and the stats must account for every request/image."""
+    fn = _pipeline()
+    MB = 16
+    jfn = jax.jit(fn)          # one compile: always called at (MB, ...)
+
+    def ref(r):
+        pad = np.zeros((MB - r.shape[0], 3, SIZE, SIZE), np.float32)
+        det, n = jfn(np.concatenate([r, pad], 0))
+        return (np.asarray(det)[: r.shape[0]],
+                np.asarray(n)[: r.shape[0]])
+
+    deadline = time.monotonic() + 30.0
+    results = []               # (request, future)
+    res_lock = threading.Lock()
+    stop = threading.Event()
+
+    def submitter(seed):
+        rng = np.random.default_rng(seed)
+        while time.monotonic() < deadline and not stop.is_set():
+            burst = []
+            for _ in range(int(rng.integers(1, 4))):    # bursts of 1-3
+                r = rng.uniform(0, 1, (int(rng.integers(1, MB + 1)),
+                                       3, SIZE, SIZE)).astype(np.float32)
+                try:
+                    burst.append((r, co.submit(r)))
+                except RuntimeError:       # closed during shutdown race
+                    return
+            with res_lock:
+                results.extend(burst)
+            # back-pressure: wait for this burst before the next one
+            # (bounds the in-flight queue to threads x burst)
+            for _, f in burst:
+                f.result(timeout=600)
+            # idle gaps exercise the timeout-flush path
+            time.sleep(float(rng.choice([0.0, 0.0, 0.0, 0.02, 0.06])))
+
+    with BatchCoalescer(fn, max_batch=MB, max_wait_ms=8,
+                        image_shape=(3, SIZE, SIZE)) as co:
+        threads = [threading.Thread(target=submitter, args=(1000 + i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        stop.set()
+        assert not any(t.is_alive() for t in threads)
+        # no stranded futures: every single one must resolve
+        for r, f in results:
+            det, n_det = f.result(timeout=600)
+            want_det, want_n = ref(r)
+            np.testing.assert_array_equal(det, want_det)
+            np.testing.assert_array_equal(n_det, want_n)
+        stats = co.snapshot()
+    assert stats["requests"] == len(results)
+    assert stats["images"] == sum(r.shape[0] for r, _ in results)
+    assert stats["flushes"] >= 2
+    assert 0 < stats["mean_fill"] <= 1.0
+    assert stats["latency_ms_p99"] >= stats["latency_ms_p50"] > 0
+    assert len(results) >= 20      # the storm actually stormed
+
+
+def test_coalescer_poisoned_flush_does_not_kill_worker():
+    """A runtime Exception raised by the step for ONE flush (injected
+    via a host callback on a poison pixel) must fail exactly that
+    flush's futures and leave the worker serving later requests."""
+    import jax.numpy as jnp
+
+    def check(v):
+        if np.any(v == np.float32(1234.5)):
+            raise ValueError("poisoned batch")
+        return v
+
+    def step(x):
+        x = jax.pure_callback(check,
+                              jax.ShapeDtypeStruct(x.shape, x.dtype), x)
+        return x.sum(axis=(1, 2, 3)), jnp.zeros((x.shape[0],), jnp.int32)
+
+    good = np.ones((2, 3, 8, 8), np.float32)
+    poison = np.full((1, 3, 8, 8), 1234.5, np.float32)
+    with BatchCoalescer(step, max_batch=4, max_wait_ms=10,
+                        image_shape=(3, 8, 8)) as co:
+        f_poison = co.submit(poison)
+        with pytest.raises(Exception, match="poisoned batch"):
+            f_poison.result(timeout=120)
+        # the worker survived: later traffic is served correctly
+        f_good = co.submit(good)
+        s, n = f_good.result(timeout=120)
+        np.testing.assert_allclose(np.asarray(s),
+                                   good.sum(axis=(1, 2, 3)))
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_coalescer_worker_death_under_concurrent_storm():
+    """A BaseException (SystemExit) in the step while many submitters
+    are in flight: EVERY future must resolve (result or exception) and
+    the coalescer must refuse new work — no stranded submitter."""
+
+    def bad(x):
+        raise SystemExit("step died mid-storm")
+
+    co = BatchCoalescer(bad, max_batch=8, max_wait_ms=20,
+                        image_shape=(3, 8, 8))
+    futs = []
+    futs_lock = threading.Lock()
+
+    def submitter(i):
+        for _ in range(5):
+            try:
+                f = co.submit(np.zeros((1, 3, 8, 8), np.float32))
+            except RuntimeError:
+                return                       # already closed: fine
+            with futs_lock:
+                futs.append(f)
+            time.sleep(0.005)
+
+    threads = [threading.Thread(target=submitter, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in threads)
+    assert futs, "storm submitted nothing before the death"
+    for f in futs:
+        with pytest.raises(BaseException):
+            f.result(timeout=120)            # resolved, not stranded
+
+
 def test_coalescer_rejects_bad_requests():
     fn = _pipeline()
     with BatchCoalescer(fn, max_batch=8, max_wait_ms=10,
