@@ -47,11 +47,20 @@ QUICK_NODES = {
     "test_cli.py::test_quantize_and_memsim",
     "test_cli.py::test_demo_command",
 }
-# slow members of otherwise-quick files
+# slow members of otherwise-quick files (the measured >30s tail;
+# representative coverage stays: test_artifact_roundtrip for loadq,
+# the greedy-mask parity set for NMS)
 QUICK_EXCLUDE = {
     "test_bench_check.py::test_bench_main_traces_default_and_coalesced",
     "test_bench_check.py::test_bench_main_dp_on_virtual_mesh",
     "test_bench_check.py::test_bench_dp_rejects_bad_combos",
+    "test_loadq.py::test_full_quant_packed_roundtrip_decode",
+    "test_loadq.py::test_bitwidth_sweep_roundtrip",
+    "test_loadq.py::test_reexport_partial_over_full_quant_tree",
+    "test_loadq.py::test_full_quant_load_guards_partial_tree",
+    "test_loadq.py::test_packed_state_dict_load",
+    "test_nms.py::test_int_key_candidate_sort_matches_argsort",
+    "test_nms.py::test_q_nms_detections_unchanged_by_int_key_sort",
 }
 
 
