@@ -59,6 +59,13 @@ def slope_time(name, fn, x0, n_lo=N_LO, n_hi=N_HI, reps=2,
     as one pipeline because stream B ran ONCE outside the loop. Any
     probe whose fn consumes independent inputs must pass
     carry_all=True."""
+    # MEASUREMENT TRAP #8 (r7_wideedge.log/-2.log): a host-numpy x0 is
+    # re-shipped over the axon relay on EVERY loop() call — at B=128
+    # 640x640 f32 that is 629 MB per call, a noisy 16-24 s "fixed"
+    # cost that swamps the slope (it even went negative) while
+    # bench.py in the same session read a clean 31.9 ms. device_put
+    # the leaves ONCE before timing; no-op for already-device arrays.
+    x0 = jax.tree_util.tree_map(jax.device_put, x0)
     leaves0, treedef = jax.tree_util.tree_flatten(x0)
 
     @jax.jit

@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
+import jax
 import numpy as np
 
 from _slope import slope_time
@@ -55,8 +56,13 @@ def build(force_wide_bf16: bool):
     return fn
 
 
-x0 = np.random.default_rng(0).uniform(
-    0, 1, (B, 3, SIZE, SIZE)).astype(np.float32)
+# device_put ONCE (measurement trap #8, r7_wideedge.log/-2.log: a host
+# numpy x0 re-ships the 629 MB batch over the relay on EVERY loop()
+# call — a noisy 16-24 s "fixed" cost that swamps the slope and even
+# turns it negative; bench.py and every prior working probe device_put
+# the input before timing)
+x0 = jax.device_put(np.random.default_rng(0).uniform(
+    0, 1, (B, 3, SIZE, SIZE)).astype(np.float32))
 
 for label, force in (("baseline(split-conv)", False),
                      ("forced-bf16(wide)", True)):
