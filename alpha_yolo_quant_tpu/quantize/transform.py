@@ -58,6 +58,17 @@ class ConvPlan:
     # (ops/nn.conv2d_bf16_exact); measured faster than s8 on stride-1 and
     # 1x1 layers on v5e
     bf16_single_ok: bool = False
+    # Offset-folded single-pass bf16 conv for WIDE input edges
+    # (|v| can exceed 256, where odd bf16 ints round): when the PROVEN
+    # signed range [edge_lo, edge_hi] of the input edge has width
+    # <= 512 and the conv has padding 0, the engine may compute
+    # conv(x - c) + (b + c*sum(w)) with c = edge_hi - 256 — every
+    # shifted input is an integer in [-256, 256] (bf16-exact) and the
+    # bias fold is exact because no padded zeros exist. Bit-identical
+    # accumulator by linearity; 1.83 ms/batch faster than the 3-part
+    # s8 split on the one K=8 wide-edge conv (scripts/r7_wideedge3.log).
+    # None = not eligible.
+    bf16_offset: Optional[int] = None
     # per-out-channel true accumulator bound max|conv(x,w)+b| (int64)
     acc_bound: Optional[np.ndarray] = None
     # Requant fast paths proven in-int32-range against acc_bound (see
@@ -117,6 +128,15 @@ class QuantizedModel:
     head: Optional[HeadPlan] = None
     clip_after_residual: Dict[int, int] = dataclasses.field(
         default_factory=dict)                     # node idx -> clip bound
+    # PROVEN signed per-edge integer bounds (worst case over any input,
+    # from the exact LUT-epilogue range of each SiLU layer propagated
+    # through splits/residuals/concats/pools) — tighter than the
+    # symmetric edge_amax_int on residual chains because integer SiLU
+    # outputs are heavily asymmetric (min ~ -0.2785/out_scale vs max
+    # qmax). Drives ConvPlan.bf16_offset eligibility only; all
+    # existing machinery keys off edge_amax_int unchanged.
+    edge_lo: Dict[str, int] = dataclasses.field(default_factory=dict)
+    edge_hi: Dict[str, int] = dataclasses.field(default_factory=dict)
 
 
 class PlanError(RuntimeError):
@@ -168,6 +188,84 @@ def _check_accumulator_bounds(node: ConvNode, w_q: np.ndarray,
                         f"({part_bound.max():.3g})")
 
 
+def _rhu_shift_np(p: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """round-half-up(p / 2^s) exactly as every runtime requant computes
+    it (ops/intmath.py, primitives.requantize_np): q = p >> (s-1)
+    (arithmetic floor shift), then q//2 + q%2. int64 host math.
+    Nondecreasing in p for fixed s."""
+    q = np.right_shift(np.int64(p), np.int64(s) - 1)
+    return (q >> 1) + (q & 1)
+
+
+def silu_out_range(plan: "ConvPlan", sig: Lut, qmax: int):
+    """EXACT signed range of a SiLU layer's integer output over every
+    possible accumulator value acc in [-acc_bound_c, acc_bound_c].
+
+    The epilogue (interpreter.finish_conv; all proven-equal fast paths
+    compute identical bits) is
+        dom = clip(rhu((r1*acc) >> (s1-1)), +-qmax)
+        y   = clip(rhu((sigma[dom]*r2*acc) >> (s2-1)), +-qmax)
+    with sigma >= 0 (sigmoid LUT values are nonnegative). Within a dom
+    bin the multiplier is a fixed nonnegative constant, so y is
+    nondecreasing in acc there; dom itself is a nondecreasing step
+    function of acc. Extremes therefore occur at BIN-EDGE accs, and the
+    bins invert in closed form: writing q1 = floor(r1*acc / 2^(s1-1)),
+    rhu(q1) == d  iff  q1 in {2d-1, 2d}, so the unclipped bin for d is
+        acc in [ ceil((2d-1)*2^(s1-1)/r1),  ceil((2d+1)*2^(s1-1)/r1) - 1 ]
+    (the d = +-qmax bins additionally swallow everything the clip
+    catches). Evaluating y at both edges of every nonempty bin
+    (intersected with [-acc_bound, acc_bound]) yields the exact min/max.
+
+    Returns (lo, hi) python ints over all channels; acc = 0 (y = 0) is
+    always attainable so 0 is in [lo, hi]. Falls back to the trivial
+    (-qmax, qmax) when the closed-form inversion could overflow int64
+    (s1 > 54; never seen — s1 is ~15-30 at koeff_bits=8) or a rescale
+    is degenerate. Validated by exhaustion and against the runtime in
+    tests/test_wide_offset.py.
+    """
+    r1 = np.int64(plan.r1).reshape(-1)
+    s1 = np.int64(plan.s1).reshape(-1)
+    r2 = np.int64(plan.r2).reshape(-1)
+    s2 = np.int64(plan.s2).reshape(-1)
+    ab = np.int64(plan.acc_bound).reshape(-1)
+    if s1.max() > 54 or r1.min() < 1 or r2.min() < 0 or s2.min() < 1:
+        return -qmax, qmax
+    sigv = np.int64(sig.values)
+    half = np.int64(1) << (s1 - 1)
+    lo_best = np.zeros_like(ab)
+    hi_best = np.zeros_like(ab)
+    for d in range(-qmax, qmax + 1):
+        if d == -qmax:
+            a_lo = -ab
+        else:
+            num = np.int64(2 * d - 1) * half
+            a_lo = -((-num) // r1)               # ceil(num / r1)
+        if d == qmax:
+            a_hi = ab
+        else:
+            num2 = np.int64(2 * d + 1) * half
+            a_hi = -((-num2) // r1) - 1
+        a_lo = np.maximum(a_lo, -ab)
+        a_hi = np.minimum(a_hi, ab)
+        valid = a_lo <= a_hi
+        if not valid.any():
+            continue
+        m = sigv[d - sig.lo] * r2                # |m*acc| < 2^15*2^31: safe
+        for a in (a_lo, a_hi):
+            y = np.clip(_rhu_shift_np(m * a, s2), -qmax, qmax)
+            lo_best = np.where(valid, np.minimum(lo_best, y), lo_best)
+            hi_best = np.where(valid, np.maximum(hi_best, y), hi_best)
+    return int(lo_best.min()), int(hi_best.max())
+
+
+def _requant_range(lo: int, hi: int, r: int, s: int, qmax: int):
+    """Signed range through requantize_i32_small (monotone in x, so the
+    endpoints map; clipped to +-qmax)."""
+    lo_q = int(np.clip(_rhu_shift_np(np.int64(r) * lo, s), -qmax, qmax))
+    hi_q = int(np.clip(_rhu_shift_np(np.int64(r) * hi, s), -qmax, qmax))
+    return lo_q, hi_q
+
+
 def build_quantized_model(graph: Graph, params: Dict,
                           max_a: Dict[str, float],
                           cfg: Optional[QuantConfig] = None,
@@ -201,6 +299,9 @@ def build_quantized_model(graph: Graph, params: Dict,
     edge_scale: Dict[str, float] = {
         graph.input_edge: scale_for(1.0, k)}     # start=True pins a=1
     edge_amax: Dict[str, int] = {graph.input_edge: qmax}
+    # proven signed bounds (see QuantizedModel.edge_lo/edge_hi)
+    edge_lo_d: Dict[str, int] = {graph.input_edge: -qmax}
+    edge_hi_d: Dict[str, int] = {graph.input_edge: qmax}
     convs: Dict[str, ConvPlan] = {}
     requants: Dict[Tuple[int, str], RequantPlan] = {}
     clip_after: Dict[int, int] = {}
@@ -247,6 +348,19 @@ def build_quantized_model(graph: Graph, params: Dict,
                             b_q=b_q.astype(np.int32), in_scale=float(in_s),
                             w_scales=w_scales[:, 0], acc_scale=acc_scale,
                             bf16_single_ok=bf16_ok, acc_bound=acc_bound)
+            if (not bf16_ok and node.padding == 0
+                    and edge_amax[node.src] > 256):
+                # offset-folded bf16 eligibility (ConvPlan.bf16_offset
+                # docstring): proven signed input range of width <= 512
+                # shifts into bf16's exact-integer window; pad == 0
+                # keeps the c*sum(w) bias fold exact (no padded zeros)
+                elo, ehi = edge_lo_d[node.src], edge_hi_d[node.src]
+                if ehi - elo <= 512:
+                    c_off = ehi - 256    # [elo-c, 256] within [-256, 256]
+                    sw = np.int64(w_q).reshape(w_q.shape[0], -1).sum(1)
+                    b_eff = np.int64(b_q) + c_off * sw
+                    if (wabs * 256 + np.abs(b_eff)).max() < 2 ** 24:
+                        plan.bf16_offset = int(c_off)
             if node.silu:
                 a_out = max_a[node.out_tap]
                 out_s = scale_for(a_out, k)
@@ -288,20 +402,32 @@ def build_quantized_model(graph: Graph, params: Dict,
                 plan.out_scale = float(out_s)
                 edge_scale[node.dst] = float(out_s)
                 edge_amax[node.dst] = qmax
+                edge_lo_d[node.dst], edge_hi_d[node.dst] = \
+                    silu_out_range(plan, sig, qmax)
             else:
                 # plain head conv: dst carries the raw int32 accumulator
                 edge_scale[node.dst] = float("nan")
                 edge_amax[node.dst] = 0
+                bound = int(acc_bound.max())
+                edge_lo_d[node.dst], edge_hi_d[node.dst] = -bound, bound
             convs[node.name] = plan
         elif isinstance(node, SplitNode):
             edge_scale[node.dst1] = edge_scale[node.dst2] = \
                 edge_scale[node.src]
             edge_amax[node.dst1] = edge_amax[node.dst2] = edge_amax[node.src]
+            edge_lo_d[node.dst1] = edge_lo_d[node.dst2] = edge_lo_d[node.src]
+            edge_hi_d[node.dst1] = edge_hi_d[node.dst2] = edge_hi_d[node.src]
         elif isinstance(node, ResidualAddNode):
             old, new = edge_scale[node.src], edge_scale[node.base]
             scalar_requant(idx, node.src, old, new)
             edge_scale[node.dst] = new
             edge_amax[node.dst] = edge_amax[node.src] + edge_amax[node.base]
+            rq = requants[(idx, node.src)]
+            rlo, rhi = _requant_range(edge_lo_d[node.src],
+                                      edge_hi_d[node.src],
+                                      rq.rescale, rq.shift, qmax)
+            edge_lo_d[node.dst] = rlo + edge_lo_d[node.base]
+            edge_hi_d[node.dst] = rhi + edge_hi_d[node.base]
             n_residuals_seen += 1
             if cfg.full_quant and n_residuals_seen == 3:
                 # The reference full-quant pipeline clips ONLY the second
@@ -311,29 +437,41 @@ def build_quantized_model(graph: Graph, params: Dict,
                 bound = int(scale_for(1.0, k))
                 clip_after[idx] = bound
                 edge_amax[node.dst] = bound
+                edge_lo_d[node.dst] = max(edge_lo_d[node.dst], -bound)
+                edge_hi_d[node.dst] = min(edge_hi_d[node.dst], bound)
         elif isinstance(node, ConcatNode):
             tgt = edge_scale[node.scale_from]
             amax = 0
+            clo, chi = qmax, -qmax
             for e in node.srcs:
                 if edge_scale[e] != tgt:
                     scalar_requant(idx, e, edge_scale[e], tgt)
                     amax = max(amax, qmax)
+                    rq = requants[(idx, e)]
+                    rlo, rhi = _requant_range(edge_lo_d[e], edge_hi_d[e],
+                                              rq.rescale, rq.shift, qmax)
                 else:
                     amax = max(amax, edge_amax[e])
+                    rlo, rhi = edge_lo_d[e], edge_hi_d[e]
+                clo, chi = min(clo, rlo), max(chi, rhi)
             # full-quant stale-scale quirk: the reference requantizes the
             # data to `scale_from`'s scale but hands the consumer the
             # OTHER participant's scale variable (see ConcatNode docs)
             edge_scale[node.dst] = edge_scale[node.declared_scale_from] \
                 if node.declared_scale_from else tgt
             edge_amax[node.dst] = amax
+            edge_lo_d[node.dst], edge_hi_d[node.dst] = clo, chi
         elif isinstance(node, (MaxPoolNode, UpsampleNode)):
             edge_scale[node.dst] = edge_scale[node.src]
             edge_amax[node.dst] = edge_amax[node.src]
+            edge_lo_d[node.dst] = edge_lo_d[node.src]
+            edge_hi_d[node.dst] = edge_hi_d[node.src]
 
     model = QuantizedModel(cfg=cfg, graph=graph, max_a=dict(max_a),
                            convs=convs, requants=requants,
                            edge_scale=edge_scale, edge_amax_int=edge_amax,
-                           sig_lut=sig, clip_after_residual=clip_after)
+                           sig_lut=sig, clip_after_residual=clip_after,
+                           edge_lo=edge_lo_d, edge_hi=edge_hi_d)
     if cfg.full_quant:
         model.head = _build_head_plan(graph, params, convs, cfg,
                                       dfl_override=dfl_override)

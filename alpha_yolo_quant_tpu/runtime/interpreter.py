@@ -80,6 +80,14 @@ def device_plan(model: QuantizedModel, pallas: bool = False) -> Dict:
             from alpha_yolo_quant_tpu.ops.nn import s2d_weights
 
             d["w_s2d_i8"] = jnp.asarray(s2d_weights(c.w_q), jnp.int8)
+        if c.bf16_offset is not None:
+            # offset-folded bf16 bias: b + c*sum(w) per out channel —
+            # engine-side only (plan.b_q and every export stay the
+            # reference values); see ConvPlan.bf16_offset
+            sw = np.int64(c.w_q).reshape(c.w_q.shape[0], -1).sum(1)
+            d["b_off"] = jnp.asarray(
+                np.int64(c.b_q) + c.bf16_offset * sw,
+                jnp.int32).reshape(1, -1, 1, 1)
         if pallas:
             d["b_c"] = jnp.asarray(c.b_q, jnp.int32)
         if c.node.silu:
@@ -476,11 +484,22 @@ def int_forward(model: QuantizedModel, plan: Dict, x_q,
                             env[node.src].astype(jnp.int8), c["w_io_i8"],
                             c["b_c"], silu=False)
                     continue
+                cp_m = model.convs[node.name]
                 prefer_bf16 = (auto_flavor
-                               and model.convs[node.name].bf16_single_ok
+                               and (cp_m.bf16_single_ok
+                                    or cp_m.bf16_offset is not None)
                                and (node.kernel == 1 or node.stride == 1
                                     or options.bf16_s2_))
-                if prefer_bf16:
+                if prefer_bf16 and cp_m.bf16_offset is not None:
+                    # wide input edge, proven range width <= 512: shift
+                    # by the plan's offset into bf16's exact-int window
+                    # and add the c*sum(w)-folded bias — identical
+                    # accumulator bits by linearity (pad == 0; see
+                    # ConvPlan.bf16_offset; scripts/r7_wideedge3.log)
+                    x_sh = env[node.src].astype(jnp.int32) - cp_m.bf16_offset
+                    acc = conv2d_bf16_exact(x_sh, c["w_i8"], node.stride,
+                                            node.padding) + c["b_off"]
+                elif prefer_bf16:
                     x_in = env[node.src]
                     w_s2d = c.get("w_s2d_i8")
                     pre_s2d = (w_s2d is not None
