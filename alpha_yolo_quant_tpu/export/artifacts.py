@@ -245,12 +245,17 @@ def _export_full_quant_head(model: QuantizedModel, env: Dict,
         d = it["levels"][level]
         up_name = head_conv_name(f"{level}_box")
         dn_name = head_conv_name(f"{level}_cls")
+        # the box requant is PINNED to 8-bit regardless of the backbone
+        # K — the reference hard-codes requant_last_layers(..., 8)
+        # (stage_6_full_quant.py:603-608, writer at :229-233), so at
+        # K=6 the files are still named/formatted bit_8 (the K=6 tree
+        # gate caught the k-following version of this call)
         verilog.save_txt_activations(d["bq"], f"{up_name}_REQUANT",
-                                     out_dir, "act_conv", k, silu=True,
+                                     out_dir, "act_conv", 8, silu=True,
                                      warn=warn)
         verilog.save_txt_rescale_shift(d["bq"], d["b_r"], d["b_s"],
                                        f"{up_name}_REQUANT", out_dir,
-                                       "act_conv", k, silu=True, warn=warn)
+                                       "act_conv", 8, silu=True, warn=warn)
         verilog.save_txt_activations(d["cq"], dn_name, out_dir, "act_conv",
                                      16, warn=warn)
         verilog.save_txt_rescale_shift(d["cq"], d["c_r"], d["c_s"],
