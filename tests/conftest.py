@@ -40,7 +40,7 @@ QUICK_FILES = {
     "test_calibration.py", "test_eval.py", "test_map_oracle.py",
     "test_hwsim.py", "test_nms.py", "test_model.py", "test_ops_misc.py",
     "test_loadq.py", "test_golden_decode.py", "test_stage5_parity.py",
-    "test_bench_check.py", "test_export.py",
+    "test_bench_check.py", "test_export.py", "test_wide_offset.py",
 }
 # quick members of otherwise-heavy files: one downsized e2e gate
 QUICK_NODES = {
@@ -61,6 +61,7 @@ QUICK_EXCLUDE = {
     "test_loadq.py::test_packed_state_dict_load",
     "test_nms.py::test_int_key_candidate_sort_matches_argsort",
     "test_nms.py::test_q_nms_detections_unchanged_by_int_key_sort",
+    "test_wide_offset.py::test_yolov8s_bounds_and_offset_bitwise",
 }
 
 

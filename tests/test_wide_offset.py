@@ -15,7 +15,6 @@ the random-weight bench model does, see scripts/r7_wideedge3.log). The
 tests force qualification with a uniform large max_a.
 """
 import numpy as np
-import pytest
 
 from alpha_yolo_quant_tpu.config import QuantConfig
 from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
@@ -28,8 +27,6 @@ from alpha_yolo_quant_tpu.quantize.luts import sigmoid_lut
 from alpha_yolo_quant_tpu.quantize.transform import (
     _rhu_shift_np, build_quantized_model, silu_out_range,
 )
-
-pytestmark = pytest.mark.quick
 
 QMAX = 127
 
@@ -142,6 +139,45 @@ def test_offset_fires_and_auto_engine_is_bitwise():
     det_s, n_s = jax.jit(fn_s8)(x)
     assert np.array_equal(np.asarray(n_a), np.asarray(n_s))
     assert np.array_equal(np.asarray(det_a), np.asarray(det_s))
+
+
+def test_yolov8s_bounds_and_offset_bitwise():
+    """The s-scale graph (more C2F blocks, deeper double-residual
+    chains) through the same machinery: bounds cover every wide edge,
+    qualifying convs go offset-bf16, and the auto engine stays bitwise
+    vs xla. Not in the quick tier (s-scale build is several times the
+    n-scale cost)."""
+    import jax
+
+    from alpha_yolo_quant_tpu.runtime.interpreter import (
+        device_plan, int_forward, quantize_input,
+    )
+
+    cfg = QuantConfig(model="yolov8s", k=8, full_quant=True, image_size=64)
+    g = build_yolov8_graph(cfg)
+    params = init_params(g, seed=0)
+    max_a = {n.out_tap: 8.0 for n in g.nodes
+             if isinstance(n, ConvNode) and n.silu}
+    model = build_quantized_model(g, params, max_a, cfg)
+    offs = {n: p.bf16_offset for n, p in model.convs.items()
+            if p.bf16_offset is not None}
+    assert offs, "uniform large max_a should qualify the s-scale " \
+        "wide-edge convs too"
+    for n, p in model.convs.items():
+        if p.bf16_offset is not None:
+            src = p.node.src
+            assert model.edge_hi[src] - model.edge_lo[src] <= 512, n
+            assert p.node.padding == 0, n
+
+    plan = device_plan(model)
+    x = np.random.default_rng(5).uniform(0, 1, (2, 3, 64, 64)).astype(
+        np.float32)
+    xq = quantize_input(x, cfg.k)
+    want = int_forward(model, plan, xq, engine="xla")
+    got = jax.jit(lambda q: int_forward(model, plan, q, engine="auto"))(xq)
+    for role in sorted(model.graph.outputs):
+        assert np.array_equal(np.asarray(got[role]),
+                              np.asarray(want[role])), role
 
 
 def test_bench_synthetic_model_width_too_wide_no_offset():
