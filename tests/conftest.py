@@ -62,6 +62,7 @@ QUICK_EXCLUDE = {
     "test_nms.py::test_int_key_candidate_sort_matches_argsort",
     "test_nms.py::test_q_nms_detections_unchanged_by_int_key_sort",
     "test_wide_offset.py::test_yolov8s_bounds_and_offset_bitwise",
+    "test_wide_offset.py::test_offset_through_pp_segments_and_coalesced_serving",
 }
 
 

@@ -180,6 +180,49 @@ def test_yolov8s_bounds_and_offset_bitwise():
                               np.asarray(want[role])), role
 
 
+def test_offset_through_pp_segments_and_coalesced_serving():
+    """The offset conv inside the two other engine wrappers that reuse
+    the int_forward node loop: a 4-stage GPipe pipeline (segmented
+    execution) and the request-coalescing serving pipeline — both
+    bitwise vs their unsharded/per-request baselines with
+    bf16_offset active."""
+    import jax
+
+    from alpha_yolo_quant_tpu.parallel.mesh import make_mesh
+    from alpha_yolo_quant_tpu.parallel.pipeline import build_pp_pipeline
+    from alpha_yolo_quant_tpu.runtime.interpreter import build_int_pipeline
+
+    model, params, cfg = _model(size=64, max_a_value=8.0)
+    assert model.convs["C2F_6_conv_1"].bf16_offset is not None
+
+    fn_pp, spec = build_pp_pipeline(model, make_mesh(4, axis="pp"),
+                                    n_stages=4, microbatch=1,
+                                    n_microbatches=4)
+    assert spec.engine in ("auto", "xla", "s8")
+    images = np.random.default_rng(11).uniform(
+        0, 1, (4, 3, 64, 64)).astype(np.float32)
+    det_pp, n_pp = fn_pp(images)
+    fn_1, _ = build_pp_pipeline(model, make_mesh(1, axis="pp"),
+                                n_stages=1, microbatch=4,
+                                n_microbatches=1)
+    det_1, n_1 = fn_1(images)
+    assert np.array_equal(np.asarray(n_pp), np.asarray(n_1))
+    assert np.array_equal(np.asarray(det_pp), np.asarray(det_1))
+
+    fn_co, _ = build_int_pipeline(model, engine="auto",
+                                  coalesce_requests=2)
+    fn_single, _ = build_int_pipeline(model, engine="auto")
+    a, b = images[:2], images[2:]
+    (det_ca, n_ca), (det_cb, n_cb) = jax.jit(fn_co)(a, b)
+    jfn = jax.jit(fn_single)
+    det_a, n_a = jfn(a)
+    det_b, n_b = jfn(b)
+    assert np.array_equal(np.asarray(n_ca), np.asarray(n_a))
+    assert np.array_equal(np.asarray(n_cb), np.asarray(n_b))
+    assert np.array_equal(np.asarray(det_ca), np.asarray(det_a))
+    assert np.array_equal(np.asarray(det_cb), np.asarray(det_b))
+
+
 def test_bench_synthetic_model_width_too_wide_no_offset():
     """The random-weight bench model does NOT qualify (derived width 702
     at 640; scripts/r7_wideedge3.log measured the 1.83 ms that real
