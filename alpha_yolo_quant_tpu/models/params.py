@@ -28,16 +28,86 @@ def conv_has_bn(node: ConvNode) -> bool:
     return node.silu
 
 
+def registration_conv_order(graph: Graph) -> List[ConvNode]:
+    """Conv nodes in the reference custom module's REGISTRATION order — which
+    is also, positionally, the ultralytics checkpoint's tensor order (the
+    reference's remap is a blind zip of the two: stage_1.py:775-783).
+
+    Registration order differs from graph/forward order in two places
+    (reference stage_1.py:285-386):
+      * within each C2F block the two 1x1 convs register first
+        (``cf2_conv_{i}``, ``cf2_conv_{i+1}``) and the bottleneck convs
+        after — the forward runs conv_0, bottlenecks, conv_1 (this mirrors
+        ultralytics C2f: cv1, cv2, then the m ModuleList);
+      * the six detect branches register as the three "up" (box) branches
+        followed by the three "down" (cls) branches — the forward/graph
+        interleaves up/down per level (mirrors ultralytics Detect: the cv2
+        ModuleList then the cv3 ModuleList).
+    """
+    def module(node: ConvNode) -> str:
+        return node.key.split(".")[0]
+
+    def c2f_block(node: ConvNode):
+        # C2F conv names: '<block>_conv_0' / '<block>_conv_1' /
+        # '<block>_bottle_<j>' with block in {C2F_2, ..., C2F_21}
+        if node.name.startswith("C2F_"):
+            for marker in ("_conv_0", "_conv_1", "_bottle_"):
+                i = node.name.find(marker)
+                if i >= 0:
+                    return node.name[:i]
+        return None
+
+    groups: List[Tuple[str, List[ConvNode]]] = []   # (label, nodes)
+    by_label: Dict[str, List[ConvNode]] = {}
+
+    def emit(label: str, node: ConvNode) -> None:
+        if label not in by_label:
+            by_label[label] = []
+            groups.append((label, by_label[label]))
+        by_label[label].append(node)
+
+    for node in graph.convs():
+        blk = c2f_block(node)
+        emit(blk if blk is not None else module(node), node)
+
+    ordered: List[ConvNode] = []
+    head_up: List[ConvNode] = []
+    head_down: List[ConvNode] = []
+    for label, nodes in groups:
+        if label.startswith("detect_") and label.endswith("_up"):
+            head_up.extend(nodes)
+        elif label.startswith("detect_") and label.endswith("_down"):
+            head_down.extend(nodes)
+        elif len(nodes) > 1 and nodes[0].name.startswith("C2F_"):
+            # graph order: conv_0, bottles..., conv_1 -> registration
+            # order: conv_0, conv_1, bottles...
+            ordered.append(nodes[0])
+            ordered.append(nodes[-1])
+            ordered.extend(nodes[1:-1])
+        else:
+            ordered.extend(nodes)
+    ordered.extend(head_up)
+    ordered.extend(head_down)
+    return ordered
+
+
 def raw_param_slots(graph: Graph) -> List[Tuple[str, Sequence[str]]]:
     """The ordered raw (pre-fusion) tensor slots of the model, matching both
     the custom model's state_dict order and — positionally — the ultralytics
     checkpoint's (reference stage_1.py:775-783 relies on this 1:1 order).
 
+    The order is the module REGISTRATION order (registration_conv_order),
+    NOT graph/forward order: ultralytics C2f registers cv1, cv2 before the
+    bottlenecks, and Detect registers all box branches before all cls
+    branches. Gated positionally (key names + shapes) against an actual
+    execution of the reference's stage_1 custom model in
+    tests/test_checkpoint_order.py.
+
     Returns [(key, ('w','gamma','beta','mean','var','nbt')) | (key, ('w','b'))
              ..., ('dfl', ('w',))].
     """
     slots: List[Tuple[str, Sequence[str]]] = []
-    for node in graph.convs():
+    for node in registration_conv_order(graph):
         if conv_has_bn(node):
             slots.append((node.key, ("w", "gamma", "beta", "mean", "var",
                                      "nbt")))
