@@ -568,7 +568,8 @@ def build_parser():
 
     def common(sp, weights=True):
         sp.add_argument("--model", default="yolov8n",
-                        choices=["yolov8n", "yolov8s"])
+                        choices=["yolov8n", "yolov8s", "yolov8m", "yolov8l",
+                                 "yolov8x"])
         sp.add_argument("--k", type=int, default=8)
         sp.add_argument("--image-size", type=int, default=640)
         sp.add_argument("--out", default="artifacts/8_nano")

@@ -11,10 +11,22 @@ import dataclasses
 from typing import Optional
 
 
-# Model scaling table (reference: quantisation/stage_0.py:19-29).
+# Model scaling table (reference: quantisation/stage_0.py:19-29 defines n/s).
+# m/l/x are an EXTENSION beyond the reference, following the ultralytics
+# yolov8 family scaling (yolov8.yaml scales): ratio encodes the max_channels
+# cap (1024*w*... == min(1024, max_channels)*w at the P5 stage), and
+# detect_cls_channels = max(P3_channels, min(nc=80, 100)) per ultralytics
+# Detect.__init__. Tap/key names for the deeper graphs are generated
+# (no reference naming exists for depth > 0.33) — see models/graph.py.
 _MODEL_SCALES = {
     "yolov8n": dict(depth=0.33, width=0.25, ratio=2.0, detect_cls_channels=80),
     "yolov8s": dict(depth=0.33, width=0.50, ratio=2.0, detect_cls_channels=128),
+    "yolov8m": dict(depth=0.67, width=0.75, ratio=1.5,
+                    detect_cls_channels=192),
+    "yolov8l": dict(depth=1.00, width=1.00, ratio=1.0,
+                    detect_cls_channels=256),
+    "yolov8x": dict(depth=1.00, width=1.25, ratio=1.0,
+                    detect_cls_channels=320),
 }
 
 
@@ -23,7 +35,8 @@ class QuantConfig:
     """Pipeline configuration.
 
     Attributes:
-      model: "yolov8n" | "yolov8s" (reference stage_0.py:4, MODEL_NAME).
+      model: "yolov8n" | "yolov8s" (reference stage_0.py:4, MODEL_NAME) or
+        the extension scales "yolov8m" | "yolov8l" | "yolov8x".
       k: activation/weight bit width K (reference stage_0.py:7).
       calib_mode: reduction applied to per-layer calibration stats
         ("max" | "mode" | "median" | "std" | "n=<int>" | "min_mae";
@@ -116,6 +129,8 @@ class QuantConfig:
 
     @property
     def main_dir_name(self) -> str:
-        """Artifact directory name (reference stage_0.py:14-17)."""
-        suffix = {"yolov8n": "nano", "yolov8s": "small"}[self.model]
+        """Artifact directory name (reference stage_0.py:14-17 for n/s;
+        medium/large/xlarge extend the scheme)."""
+        suffix = {"yolov8n": "nano", "yolov8s": "small", "yolov8m": "medium",
+                  "yolov8l": "large", "yolov8x": "xlarge"}[self.model]
         return f"{self.k}_{suffix}"

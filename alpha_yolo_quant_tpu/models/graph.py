@@ -151,24 +151,67 @@ def _c(x: float) -> int:
     return int(x)
 
 
+# Reference tap names for the C2F bottleneck chains at depth 0.33
+# (stage_4.py:481-910). Deeper scales have no reference naming; generated
+# names are used instead (see _bottle_taps).
+_REF_BOTTLE_TAPS = {
+    "C2F_2": ["conv_b_0_c2f", "conv_b_1_c2f"],
+    "C2F_4": ["conv_b1_c2f", "conv_b2_c2f", "conv_b3_c2f", "conv_b4_c2f"],
+    "C2F_6": ["cf2_bconv_4", "cf2_bconv1_4", "cf2_bconv_5", "cf2_bconv1_5"],
+    "C2F_8": ["cf2_bottle_6", "cf2_bottle_61"],
+    "C2F_12": ["cf2_conv_80", "cf2_conv_81"],
+    "C2F_15": ["cf2_bottle_8", "cf2_bottle_81"],
+    "C2F_18": ["cf2_bottle_9", "cf2_bottle_90"],
+    "C2F_21": ["cf2_bottle_10", "cf2_bottle_101"],
+}
+
+
 def build_yolov8_graph(cfg: QuantConfig) -> Graph:
-    """Build the YOLOv8 graph for the configured scale (n/s).
+    """Build the YOLOv8 graph for the configured scale (n/s/m/l/x).
 
     Channel arithmetic per reference stage_1.py:621-766; layer/tap wiring per
-    reference stage_6.py:185-649 (transcribed, not imported).
+    reference stage_6.py:185-649 (transcribed, not imported). For n/s
+    (depth 0.33) every layer/tap/key name matches the reference exactly
+    (export/calibration parity depends on it). m/l/x are an extension: the
+    reference defines no naming for the extra bottleneck convs, so their
+    taps are generated ('c2f_<block>_b<j>') and their state-dict keys follow
+    the reference's own index formulas (stage_1.py:628-744), which remain
+    well-defined at any depth.
     """
     w, r, d = cfg.width, cfg.ratio, cfg.depth
-    n_back = [int(round(3 * d)), int(round(6 * d)), int(round(6 * d)),
-              int(round(3 * d))]
-    n_neck = int(round(3 * d))
-    if (n_back, n_neck) != ([1, 2, 2, 1], 1):
-        raise NotImplementedError(
-            "tap naming is defined for depth=0.33 (yolov8n/s); deeper models "
-            "need a tap-name table")
+    # bottlenecks per block (reference stage_1.py n_2/n_4/...; ultralytics
+    # max(round(n*d), 1))
+    n2 = max(int(round(3 * d)), 1)
+    n4 = max(int(round(6 * d)), 1)
+    n6 = max(int(round(6 * d)), 1)
+    n8 = max(int(round(3 * d)), 1)
+    nn = max(int(round(3 * d)), 1)
+    # state-dict bottleneck indices, the reference's exact (quirky) formulas:
+    # C2F_4 starts at n_2+1 (stage_1.py:638 skips an index), the later
+    # blocks at the cumulative count including their own
+    b2 = list(range(n2))
+    b4 = list(range(n2 + 1, n4 + n2 + 1))
+    b6 = list(range(n4 + n2 + 1, n6 + n4 + n2 + 1))
+    b8 = [n8 + n6 + n4 + n2 + i for i in range(n8)]
+    s12 = nn + n8 + n6 + n4 + n2
+    b12 = [s12 + i for i in range(nn)]
+    b15 = [s12 + nn + i for i in range(nn)]
+    b18 = [s12 + 2 * nn + i for i in range(nn)]
+    b21 = [s12 + 3 * nn + i for i in range(nn)]
+
+    def _bottle_taps(block: str, n: int) -> List[str]:
+        """2n bottleneck-conv tap names for one C2F block."""
+        if d == 0.33:
+            return _REF_BOTTLE_TAPS[block]
+        return [f"{block.lower()}_b{j}" for j in range(2 * n)]
 
     c1, c2, c3, c4 = _c(64 * w), _c(128 * w), _c(256 * w), _c(512 * w)
     c5 = _c(512 * w * r)
     ch_cls = cfg.detect_cls_channels
+    # box-branch hidden width: the reference hardcodes 64 (stage_1.py:
+    # detect_0) — which equals the ultralytics formula max(16, ch[0]//4,
+    # 4*reg_max) for n/s/m/l; yolov8x (P3=320ch) needs 80
+    ch_box = max(64, c3 // 4)
 
     nodes: List[Node] = []
 
@@ -223,30 +266,30 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
          "conv_p1", "conv_p2")
     conv("Conv_P2", "conv1.0", "p1", "p2", c1, c2, 3, 2, 1, True,
          "conv_p2", "conv_0_c2f")
-    c2f("C2F_2", [0], "p2", "c2f2", c2, c2, c2,
+    c2f("C2F_2", b2, "p2", "c2f2", c2, c2, c2,
         dict(conv0_key_i=0, conv1_key_i=1, own="conv_0_c2f",
-             b=["conv_b_0_c2f", "conv_b_1_c2f"], last="conv_b_2_c2f",
+             b=_bottle_taps("C2F_2", n2), last="conv_b_2_c2f",
              next="conv_p3"),
         shortcut=True, label_prefix="C2F_2")
     conv("Conv_P3", "conv3.0", "c2f2", "p3", c2, c3, 3, 2, 1, True,
          "conv_p3", "conv_2_c2f")
-    c2f("C2F_4", [2, 3], "p3", "c2f4", c3, c3, c3,
+    c2f("C2F_4", b4, "p3", "c2f4", c3, c3, c3,
         dict(conv0_key_i=2, conv1_key_i=3, own="conv_2_c2f",
-             b=["conv_b1_c2f", "conv_b2_c2f", "conv_b3_c2f", "conv_b4_c2f"],
+             b=_bottle_taps("C2F_4", n4),
              last="conv_b5_c2f", next="conv_5"),
         shortcut=True, label_prefix="C2F_4")
     conv("Conv_P4", "conv5.0", "c2f4", "p4", c3, c4, 3, 2, 1, True,
          "conv_5", "cf2_conv_4")
-    c2f("C2F_6", [4, 5], "p4", "c2f6", c4, c4, c4,
+    c2f("C2F_6", b6, "p4", "c2f6", c4, c4, c4,
         dict(conv0_key_i=4, conv1_key_i=5, own="cf2_conv_4",
-             b=["cf2_bconv_4", "cf2_bconv1_4", "cf2_bconv_5", "cf2_bconv1_5"],
+             b=_bottle_taps("C2F_6", n6),
              last="cf2_6_conv_last", next="conv7"),
         shortcut=True, label_prefix="C2F_6")
     conv("Conv_P5", "conv7.0", "c2f6", "p5", c4, c5, 3, 2, 1, True,
          "conv7", "cf2_conv_6")
-    c2f("C2F_8", [6], "p5", "c2f8", c5, c5, c5,
+    c2f("C2F_8", b8, "p5", "c2f8", c5, c5, c5,
         dict(conv0_key_i=6, conv1_key_i=7, own="cf2_conv_6",
-             b=["cf2_bottle_6", "cf2_bottle_61"], last="cf2_conv_7",
+             b=_bottle_taps("C2F_8", n8), last="cf2_conv_7",
              next="sppf_conv_1"),
         shortcut=True, label_prefix="C2F_8")
 
@@ -268,17 +311,17 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
     # (reference stage_6.py CONCAT_2X3). Order: (upsampled, skip).
     nodes.append(ConcatNode(("up10", "c2f6"), scale_from="c2f6",
                             dst="cat_2x3", label="CONCAT_2X3"))
-    c2f("C2F_12", [7], "cat_2x3", "c2f12", c4 + c5, c4, c4,
+    c2f("C2F_12", b12, "cat_2x3", "c2f12", c4 + c5, c4, c4,
         dict(conv0_key_i=8, conv1_key_i=9, own="cf2_conv_8",
-             b=["cf2_conv_80", "cf2_conv_81"], last="cf2_conv_9",
+             b=_bottle_taps("C2F_12", nn), last="cf2_conv_9",
              next="cf2_conv_10"),
         shortcut=False, label_prefix="C2F_12")
     nodes.append(UpsampleNode("c2f12", "up13"))
     nodes.append(ConcatNode(("up13", "c2f4"), scale_from="c2f4",
                             dst="cat_1x3", label="CONCAT_1X3"))
-    c2f("C2F_15", [8], "cat_1x3", "c2f15", c3 + c4, c3, c3,
+    c2f("C2F_15", b15, "cat_1x3", "c2f15", c3 + c4, c3, c3,
         dict(conv0_key_i=10, conv1_key_i=11, own="cf2_conv_10",
-             b=["cf2_bottle_8", "cf2_bottle_81"], last="cf2_conv_11",
+             b=_bottle_taps("C2F_15", nn), last="cf2_conv_11",
              next="conv8"),
         shortcut=False, label_prefix="C2F_15")
 
@@ -300,9 +343,9 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
         # C2F_18_conv_0 consumes it at the fresh conv's scale
         # (stage_6_full_quant.py:530-541)
         declared_scale_from="p3d" if quirk_6b else None))
-    c2f("C2F_18", [9], "cat_3x4", "c2f18", c3 + c4, c4, c4,
+    c2f("C2F_18", b18, "cat_3x4", "c2f18", c3 + c4, c4, c4,
         dict(conv0_key_i=12, conv1_key_i=13, own="cf2_conv_12",
-             b=["cf2_bottle_9", "cf2_bottle_90"], last="cf2_conv_13",
+             b=_bottle_taps("C2F_18", nn), last="cf2_conv_13",
              next="conv9"),
         shortcut=False, label_prefix="C2F_18")
     conv("Conv_19", "conv9.0", "c2f18", "p4d", c4, c4, 3, 2, 1, True,
@@ -312,9 +355,9 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
         ("p4d", "sppf"), scale_from=sf_sppf, dst="cat_sppfx3",
         label="CONCAT_SPPFx3",
         declared_scale_from="p4d" if quirk_6b else None))
-    c2f("C2F_21", [10], "cat_sppfx3", "c2f21", c4 + c5, c5, c5,
+    c2f("C2F_21", b21, "cat_sppfx3", "c2f21", c4 + c5, c5, c5,
         dict(conv0_key_i=14, conv1_key_i=15, own="cf2_conv_14",
-             b=["cf2_bottle_10", "cf2_bottle_101"], last="cf2_conv_15",
+             b=_bottle_taps("C2F_21", nn), last="cf2_conv_15",
              next="x_down_0"),
         shortcut=False, label_prefix="C2F_21")
 
@@ -328,21 +371,21 @@ def build_yolov8_graph(cfg: QuantConfig) -> Graph:
              cout, 1, 1, 0, False, taps[2], None)
         return f"{key}.out"
 
-    out_p3_box = head("x_result_5_up", "up", "detect_5_up", "c2f15", c3, 64,
-                      64, ["x_result_5_up_0", "x_result_5_up_1",
+    out_p3_box = head("x_result_5_up", "up", "detect_5_up", "c2f15", c3,
+                      ch_box, 64, ["x_result_5_up_0", "x_result_5_up_1",
                            "x_result_5_up_2"])
     out_p3_cls = head("x_result_5_down", "down", "detect_5_down", "c2f15",
                       c3, ch_cls, 80, ["x_result_5_down_0",
                                        "x_result_5_down_1",
                                        "x_result_5_down_2"])
-    out_p4_box = head("x_result_6_up", "up", "detect_6_up", "c2f18", c4, 64,
-                      64, ["x_result_6_up_0", "x_result_6_up_1",
+    out_p4_box = head("x_result_6_up", "up", "detect_6_up", "c2f18", c4,
+                      ch_box, 64, ["x_result_6_up_0", "x_result_6_up_1",
                            "x_result_6_up_2"])
     out_p4_cls = head("x_result_6_down", "down", "detect_6_down", "c2f18",
                       c4, ch_cls, 80, ["x_result_6_down_0",
                                        "x_result_6_down_1",
                                        "x_result_6_down_2"])
-    out_p5_box = head("x_up", "up", "detect_x_up", "c2f21", c5, 64, 64,
+    out_p5_box = head("x_up", "up", "detect_x_up", "c2f21", c5, ch_box, 64,
                       ["x_up_0", "x_up_1", "x_up_2"])
     out_p5_cls = head("x_down", "down", "detect_x_down", "c2f21", c5,
                       ch_cls, 80, ["x_down_0", "x_down_1", "x_down_2"])
