@@ -165,3 +165,57 @@ def test_deeper_interpreter_matches_golden(model, full_quant):
     fn, _ = build_int_pipeline(model_q, dfl_w_float=params["dfl"]["w"])
     det, n_det = fn(jnp.asarray(np.repeat(x, 2, axis=0)))
     assert det.shape == (2, 300, 6)
+
+
+def test_deeper_pp_and_dp_seams_bitwise():
+    """The parallel seams are IR-generic; prove it on the deeper graph:
+    yolov8m full-quant, 4 GPipe stages over a 'pp' mesh bitwise vs the
+    unsharded engine, and the shard_map dp serving step bitwise vs the
+    local pipeline."""
+    import jax
+
+    from alpha_yolo_quant_tpu.parallel.mesh import (
+        data_parallel_step, make_mesh, shard_batch,
+    )
+    from alpha_yolo_quant_tpu.parallel.pipeline import (
+        build_pipeline_spec, pipeline_forward,
+    )
+    from alpha_yolo_quant_tpu.quantize.calibrate import (
+        collect_stats, reduce_stats,
+    )
+    from alpha_yolo_quant_tpu.quantize.transform import build_quantized_model
+    from alpha_yolo_quant_tpu.runtime.interpreter import (
+        build_int_pipeline, device_plan, int_forward, quantize_input,
+    )
+
+    cfg = QuantConfig(model="yolov8m", k=8, full_quant=True, image_size=64)
+    graph = build_yolov8_graph(cfg)
+    params = init_params(graph, seed=0)
+    calib = RNG.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    max_a = reduce_stats(collect_stats(graph, params, [calib]), "max", cfg.k)
+    model = build_quantized_model(graph, params, max_a, cfg)
+    plan = device_plan(model)
+
+    # pp: 4 stages, bitwise on every head edge
+    spec = build_pipeline_spec(model, plan, n_stages=4, microbatch=1,
+                               n_microbatches=4, engine="auto")
+    mesh = make_mesh(4, axis="pp")
+    fwd = pipeline_forward(model, plan, spec, mesh)
+    images = RNG.uniform(0, 1, (4, 3, 64, 64)).astype(np.float32)
+    got = fwd(images)
+    x_q = quantize_input(jnp.asarray(images), cfg.k, out_dtype=jnp.bfloat16)
+    want = jax.jit(lambda x: int_forward(model, plan, x, engine="auto"))(x_q)
+    for role in sorted(model.graph.outputs):
+        assert np.array_equal(np.asarray(got[role]),
+                              np.asarray(want[role])), role
+
+    # dp: shard_map serving step == local pipeline
+    fn, _ = build_int_pipeline(model, dfl_w_float=params["dfl"]["w"])
+    dmesh = make_mesh(8)
+    step = data_parallel_step(fn, dmesh)
+    imgs8 = RNG.uniform(0, 1, (8, 3, 64, 64)).astype(np.float32)
+    det_s, n_s = step(shard_batch(dmesh, imgs8))
+    det_l, n_l = fn(imgs8)
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_l))
+    np.testing.assert_allclose(np.asarray(det_s), np.asarray(det_l),
+                               rtol=1e-6)
