@@ -117,17 +117,53 @@ def raw_param_slots(graph: Graph) -> List[Tuple[str, Sequence[str]]]:
     return slots
 
 
+# raw state-dict tensor counts per scale, for the mismatch diagnostics
+_SCALE_TENSOR_COUNTS = {355: "yolov8n or yolov8s", 475: "yolov8m",
+                        595: "yolov8l or yolov8x"}
+
+
+def _slot_shape(node: ConvNode, field: str):
+    if field == "w":
+        return (node.cout, node.cin, node.kernel, node.kernel)
+    if field == "nbt":
+        return ()
+    return (node.cout,)
+
+
 def load_raw_from_values(graph: Graph, values: Sequence[np.ndarray]) -> Dict:
     """Positional remap of a flat tensor sequence (e.g. ultralytics
-    state_dict().values()) onto the raw slots."""
+    state_dict().values()) onto the raw slots, with per-slot shape
+    validation — a checkpoint from a different model scale must fail with
+    a diagnostic naming the first mismatched slot (the reference's blind
+    zip, stage_1.py:775-783, would load it and produce garbage or a
+    cryptic fusion error)."""
     slots = raw_param_slots(graph)
     n_expected = sum(len(s[1]) for s in slots)
     if len(values) != n_expected:
-        raise ValueError(f"expected {n_expected} tensors, got {len(values)}")
+        hint = _SCALE_TENSOR_COUNTS.get(len(values))
+        hint = f" (a {hint} checkpoint?)" if hint else ""
+        raise ValueError(
+            f"expected {n_expected} tensors for {graph.cfg.model}, got "
+            f"{len(values)}{hint}")
+    nodes = {n.key: n for n in graph.convs()}
     raw: Dict[str, Dict[str, np.ndarray]] = {}
     it = iter(values)
     for key, fields in slots:
-        raw[key] = {f: np.asarray(next(it)) for f in fields}
+        raw[key] = {}
+        for f in fields:
+            v = np.asarray(next(it))
+            if key != "dfl":
+                want = _slot_shape(nodes[key], f)
+                if f != "nbt" and tuple(v.shape) != want:
+                    raise ValueError(
+                        f"checkpoint tensor for slot {key}.{f} has shape "
+                        f"{tuple(v.shape)}, expected {want} — wrong model "
+                        f"scale ({graph.cfg.model}) or non-ultralytics "
+                        "tensor order")
+            raw[key][f] = v
+    if tuple(raw["dfl"]["w"].shape) != (1, 16, 1, 1):
+        raise ValueError(
+            f"dfl weight shape {tuple(raw['dfl']['w'].shape)} != (1,16,1,1)")
     return raw
 
 

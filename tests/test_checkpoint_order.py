@@ -160,3 +160,32 @@ def test_registration_order_differs_from_graph_order():
                     for br in ("up", "down")
                     for lv in ("5", "6", "x")
                     for j in (0, 2, 4)]
+
+
+def test_wrong_scale_checkpoint_diagnosed():
+    """A checkpoint from another scale must fail loudly at load time with
+    the mismatched slot (or the scale hint), not propagate garbage."""
+    from alpha_yolo_quant_tpu.config import QuantConfig
+    from alpha_yolo_quant_tpu.models.graph import build_yolov8_graph
+    from alpha_yolo_quant_tpu.models.params import (
+        init_raw_params, load_raw_from_values, raw_param_slots,
+    )
+
+    g_n = build_yolov8_graph(QuantConfig(model="yolov8n"))
+    g_s = build_yolov8_graph(QuantConfig(model="yolov8s"))
+    raw_s = init_raw_params(g_s, seed=1)
+    vals_s = [raw_s[k][f] for k, fs in raw_param_slots(g_s) for f in fs]
+    # same tensor count (355), wrong shapes -> slot-level diagnostic
+    with pytest.raises(ValueError, match="wrong model scale"):
+        load_raw_from_values(g_n, vals_s)
+    # wrong tensor count -> scale hint
+    g_m = build_yolov8_graph(QuantConfig(model="yolov8m"))
+    raw_m = init_raw_params(g_m, seed=1)
+    vals_m = [raw_m[k][f] for k, fs in raw_param_slots(g_m) for f in fs]
+    with pytest.raises(ValueError, match="yolov8m"):
+        load_raw_from_values(g_n, vals_m)
+    # the happy path still loads
+    raw_n = init_raw_params(g_n, seed=1)
+    vals_n = [raw_n[k][f] for k, fs in raw_param_slots(g_n) for f in fs]
+    out = load_raw_from_values(g_n, vals_n)
+    assert set(out) == set(raw_n)
