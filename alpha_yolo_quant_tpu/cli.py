@@ -497,9 +497,10 @@ def cmd_accept(args):
     def out_for(k):
         # reference artifact-dir naming: 8_nano / 6_nano / 4_nano
         # (stage_0.py's per-K trees); the primary K uses --out as given
+        from alpha_yolo_quant_tpu.config import QuantConfig
         return args.out if k == args.k else os.path.join(
             os.path.dirname(args.out) or ".",
-            f"{k}_{'nano' if args.model == 'yolov8n' else 'small'}")
+            QuantConfig(model=args.model, k=k).main_dir_name)
 
     print(f"== accept: prepare ({args.checkpoint or 'random init'}) ==")
     run(["prepare"] + base + ["--k", str(args.k), "--out", args.out]
@@ -676,7 +677,8 @@ def build_parser():
                              "-> K sweep -> report")
     common(sp, weights=False)
     sp.add_argument("--checkpoint", help="torch .pt state dict "
-                    "(ultralytics yolov8n.pt / yolov8s.pt)")
+                    "(an ultralytics yolov8{n,s,m,l,x}.pt matching "
+                    "--model)")
     sp.add_argument("--coco-images", required=True)
     sp.add_argument("--coco-ann", required=True)
     sp.add_argument("--limit", type=int, default=None)

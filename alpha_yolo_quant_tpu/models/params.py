@@ -57,23 +57,16 @@ def registration_conv_order(graph: Graph) -> List[ConvNode]:
                     return node.name[:i]
         return None
 
-    groups: List[Tuple[str, List[ConvNode]]] = []   # (label, nodes)
-    by_label: Dict[str, List[ConvNode]] = {}
-
-    def emit(label: str, node: ConvNode) -> None:
-        if label not in by_label:
-            by_label[label] = []
-            groups.append((label, by_label[label]))
-        by_label[label].append(node)
-
+    groups: Dict[str, List[ConvNode]] = {}   # insertion-ordered
     for node in graph.convs():
         blk = c2f_block(node)
-        emit(blk if blk is not None else module(node), node)
+        groups.setdefault(blk if blk is not None else module(node),
+                          []).append(node)
 
     ordered: List[ConvNode] = []
     head_up: List[ConvNode] = []
     head_down: List[ConvNode] = []
-    for label, nodes in groups:
+    for label, nodes in groups.items():
         if label.startswith("detect_") and label.endswith("_up"):
             head_up.extend(nodes)
         elif label.startswith("detect_") and label.endswith("_down"):

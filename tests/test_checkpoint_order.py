@@ -130,13 +130,12 @@ def test_slot_order_matches_reference_registration(model, tmp_path):
     ref_model = _reference_custom_model(model, tmp_path)
     got = [(k, tuple(v.shape)) for k, v in ref_model.state_dict().items()]
     want = _expected_entries(model)
-    assert len(got) == len(want) == (355 if model == "yolov8n" else 355)
+    assert len(got) == len(want) == 355  # n and s have the same count
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == w, (f"position {i}: reference {g} != ours {w} "
                         "(positional checkpoint remap would mis-assign)")
 
 
-@needs_ref
 def test_registration_order_differs_from_graph_order():
     """The two orders genuinely differ (C2F conv_1 placement, head branch
     grouping) — this documents why raw_param_slots cannot iterate
