@@ -33,6 +33,9 @@ ENVELOPES = {
     "yolov8n_640_int6_e2e": (4364.0, 4418.9),
     "yolov8n_640_int4_e2e": (4004.0, 4092.1),
     "yolov8s_640_int8_e2e": (1802.0, 1822.3),
+    # first m-scale recording (r8_mbench.log; single run — band widens
+    # as re-runs accumulate). MFU 29.8%, the highest of any scale.
+    "yolov8m_640_int8_e2e": (742.6, 742.6),
     "yolov8n_320_int8_e2e": (16151.0, 16151.0),
     # the robust B=64 protocol: two coalesced 64-image requests per
     # step (--batch 64 --coalesce 2; scripts/r6_b64co2.log)
